@@ -1,0 +1,119 @@
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbc_tpu.control import (birdview_agent_control, controller_init,
+                             ls_circle, pid_init, pid_step,
+                             project_point_to_circle)
+
+
+def _pid_reference(errors, kp, ki, kd, n=30, dt=0.1):
+    """Independent numpy re-statement of the windowed PID formula
+    (controller.py:43-68) used as a golden model."""
+    window = deque(maxlen=n)
+    outs = []
+    for e in errors:
+        window.append(e)
+        if len(window) >= 2:
+            integral = sum(window) * dt
+            derivative = (window[-1] - window[-2]) / dt
+        else:
+            integral = derivative = 0.0
+        outs.append(kp * e + ki * integral + kd * derivative)
+    return np.array(outs)
+
+
+def test_pid_matches_windowed_reference():
+    rng = np.random.RandomState(0)
+    errors = rng.randn(100).astype(np.float32)
+    kp, ki, kd, n = 1.0, 0.1, 2.5, 30
+
+    state = pid_init(n)
+    outs = []
+    for e in errors:
+        state, out = pid_step(state, e, kp, ki, kd)
+        outs.append(float(out))
+    expected = _pid_reference(errors, kp, ki, kd, n=n)
+    np.testing.assert_allclose(outs, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_pid_batched():
+    errors = np.array([[1.0, -1.0]] * 5, np.float32)
+    state = pid_init(10, batch_shape=(2,))
+    for e in errors:
+        state, out = pid_step(state, jnp.asarray(e), 1.0, 0.0, 0.0)
+    np.testing.assert_allclose(out, [1.0, -1.0], atol=1e-6)
+
+
+def test_ls_circle_exact():
+    theta = np.linspace(0.1, 2.0, 8)
+    pts = np.stack([3.0 + 2.0 * np.cos(theta), -1.0 + 2.0 * np.sin(theta)], 1)
+    center, r = ls_circle(jnp.asarray(pts))
+    np.testing.assert_allclose(center, [3.0, -1.0], atol=1e-3)
+    np.testing.assert_allclose(r, 2.0, atol=1e-3)
+
+
+def test_ls_circle_collinear_no_nan():
+    pts = np.stack([np.linspace(0, 10, 6), np.zeros(6)], 1)
+    center, r = ls_circle(jnp.asarray(pts))
+    assert np.all(np.isfinite(np.asarray(center)))
+    assert np.isfinite(float(r))
+    # projecting a forward point onto the huge circle keeps it near the line
+    proj = project_point_to_circle(jnp.asarray(pts[3]), center, r)
+    assert abs(float(proj[1])) < 1.0
+
+
+def _straight_locations(speed_mps):
+    """Locations in [-1,1] crop space for waypoints straight ahead with
+    spacing speed*gap*dt meters (ego at crop bottom-center, 5 px/m)."""
+    gap_m = speed_mps * 5 * 0.1
+    locs = []
+    for i in range(1, 6):
+        fwd_px = i * gap_m * 5
+        col = 96.0
+        row = 192.0 - fwd_px
+        locs.append([col / 96.0 - 1.0, row / 96.0 - 1.0])
+    return np.array(locs, np.float32)
+
+
+def test_birdview_decode_straight():
+    locs = jnp.asarray(_straight_locations(5.0))
+    state = controller_init()
+    control, state = birdview_agent_control(
+        locs, jnp.asarray(2.0), jnp.asarray(4), state)
+    steer, throttle, brake = np.asarray(control)
+    assert abs(steer) < 1e-3
+    assert throttle > 0.5        # target 5 m/s, current 2 m/s
+    assert brake == 0.0
+
+
+def test_birdview_decode_brake_when_slow():
+    locs = jnp.asarray(_straight_locations(0.5))   # target speed 0.5 < 1
+    state = controller_init()
+    control, _ = birdview_agent_control(
+        locs, jnp.asarray(0.5), jnp.asarray(4), state)
+    steer, throttle, brake = np.asarray(control)
+    assert steer == 0.0 and throttle == 0.0 and brake == 1.0
+
+
+def test_birdview_decode_turn_sign():
+    # Waypoints curving to +lateral (right in CARLA frame) -> positive steer.
+    locs = _straight_locations(5.0)
+    locs[:, 0] += np.linspace(0.05, 0.4, 5)   # drift columns rightward
+    state = controller_init()
+    control, _ = birdview_agent_control(
+        jnp.asarray(locs), jnp.asarray(5.0), jnp.asarray(1), state)
+    assert float(control[0]) > 0.05
+
+
+def test_decode_jit_vmap():
+    locs = jnp.tile(jnp.asarray(_straight_locations(5.0))[None], (8, 1, 1))
+    speeds = jnp.full((8,), 3.0)
+    cmds = jnp.full((8,), 4, jnp.int32)
+    state = controller_init(batch_shape=(8,))
+    fn = jax.jit(birdview_agent_control)
+    control, state2 = fn(locs, speeds, cmds, state)
+    assert control.shape == (8, 3)
+    assert state2.speed_pid.count.shape == (8,)
