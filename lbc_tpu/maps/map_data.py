@@ -1,0 +1,137 @@
+"""Packed, device-ready map tables.
+
+The TPU-native replacement for CARLA's server-side map (SURVEY.md section
+2.3): every map query the reference performs over RPC becomes a gather into
+these arrays inside the jitted step.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import NamedTuple
+
+import numpy as np
+
+from ..constants import PIXELS_PER_METER
+from .roadnet import LATTICE_SPACING, RoadNetwork, get_roadnet
+
+GRID_CELL = 2.0  # m, nearest-waypoint hash grid
+
+
+class MapData(NamedTuple):
+    """All-array map representation (pure numpy here; jnp after device put).
+
+    Shapes: N = lattice waypoints, L = lights, S = spawn points,
+    J = junction nodes, (H, W) = raster at 5 px/m.
+    """
+    # rasters
+    road_raster: np.ndarray       # (H, W) uint8 {0,1}
+    lane_raster: np.ndarray       # (H, W) uint8 {0,1}
+    world_offset: np.ndarray      # (2,) f32; pixel = 5 * (world - offset)
+    # waypoint lattice
+    wp_pos: np.ndarray            # (N, 2) f32
+    wp_yaw: np.ndarray            # (N,) f32
+    wp_next: np.ndarray           # (N, 3) int32, -1 padded
+    wp_n_next: np.ndarray         # (N,) int32
+    wp_seg: np.ndarray            # (N,) int32
+    wp_is_junction: np.ndarray    # (N,) bool
+    # nearest-waypoint hash grid
+    grid_idx: np.ndarray          # (GH, GW) int32
+    # spawn points
+    spawn_pos: np.ndarray         # (S, 2) f32
+    spawn_yaw: np.ndarray         # (S,) f32
+    # traffic lights
+    light_pole_pos: np.ndarray    # (L, 2) f32 (drawn position)
+    light_stop_pos: np.ndarray    # (L, 2) f32 (stop line on governed lane)
+    light_stop_yaw: np.ndarray    # (L,) f32 (approach heading)
+    light_junction: np.ndarray    # (L,) int32
+    light_phase: np.ndarray       # (L,) int32 index within junction group
+    junction_n_phases: np.ndarray  # (J,) int32
+
+    @property
+    def n_waypoints(self):
+        return self.wp_pos.shape[0]
+
+
+def rasterize(net: RoadNetwork):
+    """Re-render road / lane-marking rasters from the vector network."""
+    import cv2
+
+    h, w = net.mask_shape
+    ppm = net.pixels_per_meter
+    off = net.world_offset
+    road = np.zeros((h, w), np.uint8)
+    lane = np.zeros((h, w), np.uint8)
+
+    def to_px(pts):
+        return np.round((np.asarray(pts) - off) * ppm).astype(np.int32)
+
+    width_px = int(round(2 * net.lane_width * ppm))  # full road width
+    for edge in net.raw_edges:
+        pts = to_px(edge['points'])
+        cv2.polylines(road, [pts], False, 1, thickness=width_px,
+                      lineType=cv2.LINE_8)
+
+    # dashed center divider: 3 m on / 3 m off (visual stand-in for the
+    # reference's topology-derived broken markings, map_utils.py:367-498)
+    from .roadnet import resample_polyline
+    for edge in net.raw_edges:
+        dense = resample_polyline(np.asarray(edge['points']), 1.0)
+        for i in range(0, len(dense) - 3, 6):
+            seg = to_px(dense[i:i + 4])
+            cv2.polylines(lane, [seg], False, 1, thickness=2,
+                          lineType=cv2.LINE_8)
+
+    return road, lane
+
+
+def _nearest_grid(net: RoadNetwork, h_m: float, w_m: float):
+    gh = int(np.ceil(h_m / GRID_CELL)) + 1
+    gw = int(np.ceil(w_m / GRID_CELL)) + 1
+    ys = net.world_offset[1] + (np.arange(gh) + 0.5) * GRID_CELL
+    xs = net.world_offset[0] + (np.arange(gw) + 0.5) * GRID_CELL
+    gx, gy = np.meshgrid(xs, ys)
+    cells = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    _, idx = net._kdtree.query(cells)
+    return idx.reshape(gh, gw).astype(np.int32)
+
+
+@lru_cache(maxsize=4)
+def build_map_data(town: str) -> MapData:
+    net = get_roadnet(town)
+    road, lane = rasterize(net)
+    h_m = net.mask_shape[0] / net.pixels_per_meter
+    w_m = net.mask_shape[1] / net.pixels_per_meter
+    grid = _nearest_grid(net, h_m, w_m)
+
+    wp_is_junction = net._seg_is_junction[net.wp_seg]
+
+    return MapData(
+        road_raster=road,
+        lane_raster=lane,
+        world_offset=net.world_offset.astype(np.float32),
+        wp_pos=net.wp_pos.astype(np.float32),
+        wp_yaw=net.wp_yaw.astype(np.float32),
+        wp_next=net.wp_next,
+        wp_n_next=net.wp_n_next,
+        wp_seg=net.wp_seg,
+        wp_is_junction=wp_is_junction,
+        grid_idx=grid,
+        spawn_pos=net.spawn_pos.astype(np.float32),
+        spawn_yaw=net.spawn_yaw.astype(np.float32),
+        light_pole_pos=net.light_poles.astype(np.float32),
+        light_stop_pos=net.light_stop_pos.astype(np.float32),
+        light_stop_yaw=net.light_stop_yaw.astype(np.float32),
+        light_junction=net.light_junction,
+        light_phase=net.light_phase,
+        junction_n_phases=net.junction_n_phases,
+    )
+
+
+def nearest_waypoint_np(map_data: MapData, pos):
+    """Host-side nearest-waypoint via the hash grid (device version lives in
+    engine.routing)."""
+    cell = np.floor((np.asarray(pos) - map_data.world_offset) / GRID_CELL)
+    gh, gw = map_data.grid_idx.shape
+    cx = int(np.clip(cell[0], 0, gw - 1))
+    cy = int(np.clip(cell[1], 0, gh - 1))
+    return int(map_data.grid_idx[cy, cx])
