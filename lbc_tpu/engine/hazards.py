@@ -1,0 +1,72 @@
+"""Hazard predicates (vectorized re-statements of the reference's expert
+safety checks in PythonAPI/agents/navigation/agent.py:95-251 and
+agents/tools/misc.py:62-86). Used by both the autopilot expert and NPC
+vehicles. All functions are single-env; vmap outside.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..constants import PIXELS_PER_METER, PROXIMITY_THRESHOLD
+from .lights import RED
+
+
+def within_distance_ahead(target_pos, cur_pos, yaw, max_distance, degree):
+    """is_within_distance_ahead (misc.py:62-86), batched over targets.
+
+    target_pos: (..., 2); cur_pos: (2,); yaw: () rad. Returns (...,) bool.
+    """
+    u = target_pos - cur_pos
+    d = jnp.linalg.norm(u, axis=-1)
+    fwd = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)], axis=-1)
+    cosang = jnp.sum(u * fwd, axis=-1) / jnp.maximum(d, 1e-6)
+    ang = jnp.degrees(jnp.arccos(jnp.clip(cosang, -1.0, 1.0)))
+    return (d <= max_distance) & (ang < degree) & (d > 1e-6)
+
+
+def yaw_difference_deg(yaw_a, yaw_b):
+    """compute_yaw_difference (misc.py:45-59): absolute angle between
+    headings in degrees, in [0, 180]."""
+    d = jnp.abs(jnp.mod(yaw_a - yaw_b + jnp.pi, 2 * jnp.pi) - jnp.pi)
+    return jnp.degrees(d)
+
+
+def vehicle_hazard(pos, yaw, veh_pos, veh_yaw, veh_active,
+                   proximity=PROXIMITY_THRESHOLD):
+    """_is_vehicle_hazard (agent.py:202-251): blocked by any active vehicle
+    with |yaw diff| <= 150 deg within `proximity` m inside a 45 deg cone."""
+    same_dir = yaw_difference_deg(yaw, veh_yaw) <= 150.0
+    ahead = within_distance_ahead(veh_pos, pos, yaw, proximity, 45.0)
+    return jnp.any(same_dir & ahead & veh_active)
+
+
+def red_light_hazard(pos, yaw, light_state, light_stop_pos, light_stop_yaw,
+                     stop_distance=PROXIMITY_THRESHOLD):
+    """_is_light_red_europe_style (agent.py:95-131): a red light on our lane
+    ahead of us. Same-lane is tested geometrically against the governed
+    approach: within `stop_distance` m *before* the stop line, laterally
+    inside the lane, heading aligned within 60 deg."""
+    rel = pos - light_stop_pos                       # (L, 2)
+    cos = jnp.cos(light_stop_yaw)
+    sin = jnp.sin(light_stop_yaw)
+    along = rel[..., 0] * cos + rel[..., 1] * sin    # + = past stop line
+    lateral = -rel[..., 0] * sin + rel[..., 1] * cos
+    heading_ok = yaw_difference_deg(yaw, light_stop_yaw) < 60.0
+    in_zone = (along > -stop_distance) & (along < 0.5) \
+        & (jnp.abs(lateral) < 2.6)
+    return jnp.any(in_zone & heading_ok & (light_state == RED))
+
+
+def walker_hazard(pos, yaw, walker_pos, walker_active, road_raster,
+                  world_offset, proximity=PROXIMITY_THRESHOLD):
+    """_is_walker_hazard (agent.py:184-200): distance-scaled cone, walkers
+    on the sidewalk (off-road pixels) ignored."""
+    d = jnp.linalg.norm(walker_pos - pos, axis=-1)
+    degree = 162.0 / (jnp.clip(d, 1.5, 10.5) + 0.3)
+    px = jnp.round((walker_pos - world_offset) * PIXELS_PER_METER)
+    h, w = road_raster.shape
+    cx = jnp.clip(px[..., 0].astype(jnp.int32), 0, w - 1)
+    cy = jnp.clip(px[..., 1].astype(jnp.int32), 0, h - 1)
+    on_road = road_raster[cy, cx] > 0
+    ahead = within_distance_ahead(walker_pos, pos, yaw, proximity, degree)
+    return jnp.any(ahead & on_road & walker_active)

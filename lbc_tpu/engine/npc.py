@@ -1,0 +1,105 @@
+"""NPC traffic vehicles: vectorized lattice-following autopilot.
+
+Replaces CARLA's server-side vehicle autopilot (carla_utils.py:394-422)
+with the same behavioral contract the reference's expert encodes
+(roaming.py:32-100): follow the lane, slow in turns, emergency-stop for
+leading vehicles, red lights, and crossing walkers. All NPCs in an env are
+advanced with one fused vector step — no per-actor control flow.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import (DT, EXPERT_TARGET_SPEED, EXPERT_TURN_SPEED_FACTOR)
+from .dynamics import DEFAULT_DYNAMICS, bicycle_step
+from .hazards import (red_light_hazard, walker_hazard, within_distance_ahead,
+                      yaw_difference_deg)
+from .state import NPCVehicleState
+
+NPC_REACH = 2.0        # m: advance to the next lattice waypoint
+NPC_STEER_KP = 1.2
+NPC_THROTTLE_KP = 0.5
+
+
+def _hash01(a, b, c):
+    """Counter-based uniform in [0,1): deterministic per (seed, npc, wp)."""
+    x = (a * jnp.uint32(2654435761) + b * jnp.uint32(40503)
+         + c * jnp.uint32(69069) + jnp.uint32(0x9E3779B9))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    return (x & jnp.uint32(0xFFFFFF)).astype(jnp.float32) / float(1 << 24)
+
+
+def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
+                     walker_pos, walker_active, light_state, seed,
+                     dynamics=DEFAULT_DYNAMICS) -> NPCVehicleState:
+    """One tick for all NPC vehicles of one env (vmap over envs outside)."""
+    wp_pos = map_data.wp_pos
+    wp_next = map_data.wp_next
+    wp_n_next = map_data.wp_n_next
+    wp_is_junction = map_data.wp_is_junction
+
+    pos, yaw, speed, wp = npc.pos, npc.yaw, npc.speed, npc.wp
+
+    # --- waypoint advance (up to 2 per tick; lattice spacing 1 m) ---
+    for _ in range(2):
+        d = jnp.linalg.norm(wp_pos[wp] - pos, axis=-1)
+        u = _hash01(seed.astype(jnp.uint32), jnp.arange(wp.shape[0],
+                    dtype=jnp.uint32), wp.astype(jnp.uint32))
+        n_next = jnp.maximum(wp_n_next[wp], 1)
+        pick = jnp.minimum((u * n_next.astype(jnp.float32)).astype(jnp.int32),
+                           n_next - 1)
+        nxt = jnp.take_along_axis(wp_next[wp], pick[:, None], axis=1)[:, 0]
+        nxt = jnp.where(nxt < 0, wp, nxt)
+        wp = jnp.where(d < NPC_REACH, nxt, wp)
+
+    # --- steering: proportional heading error to the target waypoint ---
+    to_tgt = wp_pos[wp] - pos
+    desired = jnp.arctan2(to_tgt[:, 1], to_tgt[:, 0])
+    err = jnp.mod(desired - yaw + jnp.pi, 2 * jnp.pi) - jnp.pi
+    steer = jnp.clip(NPC_STEER_KP * err, -1.0, 1.0)
+
+    # --- target speed ---
+    in_junction = wp_is_junction[wp]
+    target_speed = jnp.where(
+        in_junction, EXPERT_TARGET_SPEED * EXPERT_TURN_SPEED_FACTOR,
+        EXPERT_TARGET_SPEED) * 0.85   # NPCs drive slightly under the expert
+
+    # --- hazards (vectorized over NPCs) ---
+    all_pos = jnp.concatenate([pos, ego_pos[None]], axis=0)
+    all_yaw = jnp.concatenate([yaw, ego_yaw[None]], axis=0)
+    all_active = jnp.concatenate(
+        [npc.active, jnp.ones((1,), bool)], axis=0)
+
+    def hazards_one(p, y, my_idx):
+        others = all_active & (jnp.arange(all_pos.shape[0]) != my_idx)
+        same_dir = yaw_difference_deg(y, all_yaw) <= 150.0
+        ahead = within_distance_ahead(all_pos, p, y, 9.5, 45.0)
+        veh = jnp.any(same_dir & ahead & others)
+        light = red_light_hazard(p, y, light_state,
+                                 map_data.light_stop_pos,
+                                 map_data.light_stop_yaw)
+        wlk = walker_hazard(p, y, walker_pos, walker_active,
+                            map_data.road_raster, map_data.world_offset)
+        return veh | light | wlk
+
+    hazard = jax.vmap(hazards_one)(pos, yaw, jnp.arange(pos.shape[0]))
+
+    throttle = jnp.clip(NPC_THROTTLE_KP * (target_speed - speed), 0.0, 1.0)
+    throttle = jnp.where(hazard, 0.0, throttle)
+    brake = jnp.where(hazard, 1.0, 0.0)
+    steer = jnp.where(hazard & (speed < 0.5), 0.0, steer)
+
+    new_pos, new_yaw, new_speed = bicycle_step(
+        pos, yaw, speed, steer, throttle, brake, dynamics, DT)
+
+    active = npc.active
+    new_pos = jnp.where(active[:, None], new_pos, pos)
+    new_yaw = jnp.where(active, new_yaw, yaw)
+    new_speed = jnp.where(active, new_speed, 0.0)
+    return NPCVehicleState(pos=new_pos, yaw=new_yaw, speed=new_speed,
+                           wp=wp, active=active)

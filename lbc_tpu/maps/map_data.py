@@ -26,6 +26,7 @@ class MapData(NamedTuple):
     # rasters
     road_raster: np.ndarray       # (H, W) uint8 {0,1}
     lane_raster: np.ndarray       # (H, W) uint8 {0,1}
+    walkable_raster: np.ndarray   # (H, W) uint8 {0,1}: road + sidewalk band
     world_offset: np.ndarray      # (2,) f32; pixel = 5 * (world - offset)
     # waypoint lattice
     wp_pos: np.ndarray            # (N, 2) f32
@@ -46,6 +47,8 @@ class MapData(NamedTuple):
     light_junction: np.ndarray    # (L,) int32
     light_phase: np.ndarray       # (L,) int32 index within junction group
     junction_n_phases: np.ndarray  # (J,) int32
+    # walker navigation
+    walker_spawn: np.ndarray      # (WS, 2) f32 points on the sidewalk band
 
     @property
     def n_waypoints(self):
@@ -81,7 +84,14 @@ def rasterize(net: RoadNetwork):
             cv2.polylines(lane, [seg], False, 1, thickness=2,
                           lineType=cv2.LINE_8)
 
-    return road, lane
+    # walkable band: road dilated by ~3.5 m of sidewalk (CARLA walkers roam
+    # sidewalks and, with the reference's navmesh fix, cross roads)
+    sidewalk_px = int(round(3.5 * ppm))
+    kernel = cv2.getStructuringElement(
+        cv2.MORPH_ELLIPSE, (2 * sidewalk_px + 1, 2 * sidewalk_px + 1))
+    walkable = cv2.dilate(road, kernel)
+
+    return road, lane, walkable
 
 
 def _nearest_grid(net: RoadNetwork, h_m: float, w_m: float):
@@ -95,10 +105,21 @@ def _nearest_grid(net: RoadNetwork, h_m: float, w_m: float):
     return idx.reshape(gh, gw).astype(np.int32)
 
 
+def _walker_spawn_points(road, walkable, world_offset, ppm, n=2048,
+                         seed=0):
+    """Deterministic sample of sidewalk-band points (walkable minus road)."""
+    band = (walkable > 0) & (road == 0)
+    ys, xs = np.nonzero(band)
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(ys), size=min(n, len(ys)), replace=False)
+    pts = np.stack([xs[idx], ys[idx]], axis=1).astype(np.float32) / ppm
+    return pts + np.asarray(world_offset, np.float32)
+
+
 @lru_cache(maxsize=4)
 def build_map_data(town: str) -> MapData:
     net = get_roadnet(town)
-    road, lane = rasterize(net)
+    road, lane, walkable = rasterize(net)
     h_m = net.mask_shape[0] / net.pixels_per_meter
     w_m = net.mask_shape[1] / net.pixels_per_meter
     grid = _nearest_grid(net, h_m, w_m)
@@ -108,6 +129,7 @@ def build_map_data(town: str) -> MapData:
     return MapData(
         road_raster=road,
         lane_raster=lane,
+        walkable_raster=walkable,
         world_offset=net.world_offset.astype(np.float32),
         wp_pos=net.wp_pos.astype(np.float32),
         wp_yaw=net.wp_yaw.astype(np.float32),
@@ -124,6 +146,8 @@ def build_map_data(town: str) -> MapData:
         light_junction=net.light_junction,
         light_phase=net.light_phase,
         junction_n_phases=net.junction_n_phases,
+        walker_spawn=_walker_spawn_points(
+            road, walkable, net.world_offset, net.pixels_per_meter),
     )
 
 

@@ -1,0 +1,167 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbc_tpu.constants import CMD_FOLLOW
+from lbc_tpu.engine import (DrivingEnv, EnvConfig, bicycle_step,
+                            stack_states)
+from lbc_tpu.engine.lights import (GREEN, PHASE_S, RED, YELLOW, GREEN_S,
+                                   light_states)
+
+
+# ----------------------------------------------------------------- dynamics
+@jax.jit
+def _roll_dynamics(carry, controls):
+    def body(c, u):
+        pos, yaw, speed = c
+        pos, yaw, speed = bicycle_step(pos, yaw, speed, u[0], u[1], u[2])
+        return (pos, yaw, speed), speed
+    return jax.lax.scan(body, carry, controls)
+
+
+def _drive(n, steer, throttle, brake, speed0=0.0):
+    carry = (jnp.zeros(2), jnp.asarray(0.0), jnp.asarray(speed0))
+    controls = jnp.tile(jnp.array([steer, throttle, brake]), (n, 1))
+    (pos, yaw, speed), speeds = _roll_dynamics(carry, controls)
+    return pos, yaw, speed, speeds
+
+
+def test_bicycle_straight():
+    pos, yaw, speed, _ = _drive(100, 0.0, 0.6, 0.0)
+    # reaches a sensible cruise speed in 10 s with 0.6 throttle
+    assert 4.0 < float(speed) < 12.0
+    assert float(pos[0]) > 20.0
+    assert abs(float(pos[1])) < 1e-3
+
+
+def test_bicycle_brake_stops():
+    _, _, speed, _ = _drive(20, 0.0, 0.0, 1.0, speed0=8.0)
+    assert float(speed) == 0.0
+
+
+def test_bicycle_turn_right_increases_yaw():
+    pos, yaw, speed, _ = _drive(10, 0.3, 0.5, 0.0, speed0=5.0)
+    assert float(yaw) > 0.1      # +steer turns toward +y (right-hand frame)
+    assert float(pos[1]) > 0.0
+
+
+def test_speed_pid_closed_loop():
+    """Reference speed PID gains must track a 6 m/s setpoint on our
+    longitudinal model (dynamics fidelity gate, SURVEY.md section 7.4)."""
+    from lbc_tpu.control import pid_init, pid_step
+
+    @jax.jit
+    def roll(_):
+        def body(carry, _):
+            pos, yaw, speed, st = carry
+            st, out = pid_step(st, 6.0 - speed, 1.0, 0.1, 2.5)
+            throttle = jnp.clip(out, 0.0, 1.0)
+            pos, yaw, speed = bicycle_step(pos, yaw, speed, 0.0, throttle,
+                                           0.0)
+            return (pos, yaw, speed, st), speed
+        init = (jnp.zeros(2), jnp.asarray(0.0), jnp.asarray(0.0),
+                pid_init(30))
+        return jax.lax.scan(body, init, None, length=150)[1]
+
+    speeds = np.asarray(roll(0))
+    tail = speeds[-50:]
+    assert abs(tail.mean() - 6.0) < 0.6
+    assert tail.std() < 0.5
+
+
+# ------------------------------------------------------------------- lights
+def test_light_cycle():
+    lj = jnp.array([0, 0, 0], jnp.int32)
+    lp = jnp.array([0, 1, 2], jnp.int32)
+    nph = jnp.array([3], jnp.int32)
+    t0 = jnp.zeros(1)
+    s0 = light_states(lj, lp, nph, t0, jnp.asarray(0, jnp.int32))
+    np.testing.assert_array_equal(s0, [GREEN, RED, RED])
+    s1 = light_states(lj, lp, nph, t0,
+                      jnp.asarray(int((GREEN_S + 1) * 10), jnp.int32))
+    np.testing.assert_array_equal(s1, [YELLOW, RED, RED])
+    s2 = light_states(lj, lp, nph, t0,
+                      jnp.asarray(int((PHASE_S + 1) * 10), jnp.int32))
+    np.testing.assert_array_equal(s2, [RED, GREEN, RED])
+    # exactly one non-red at any time
+    ticks = jnp.arange(0, 500, 17, dtype=jnp.int32)
+    states = jax.jit(jax.vmap(
+        lambda t: light_states(lj, lp, nph, t0, t)))(ticks)
+    assert np.all(np.sum(np.asarray(states) != RED, axis=1) == 1)
+
+
+# ---------------------------------------------------------------------- env
+@pytest.fixture(scope='module')
+def env():
+    return DrivingEnv(EnvConfig(town='Town01', n_vehicles=8,
+                                n_pedestrians=16))
+
+
+def test_reset_and_step(env):
+    state = env.reset_np(seed=0, start=10, target=40)
+    assert not bool(state.episode.done)
+    step = jax.jit(env.step)
+    control = jnp.array([0.0, 0.5, 0.0])
+    for _ in range(20):
+        state, obs = step(state, control)
+    assert float(state.ego.speed) > 1.0
+    assert obs['command'] in (1, 2, 3, 4)
+    assert obs['position'].shape == (2,)
+    # ego still on the road
+    px = (np.asarray(state.ego.pos) - env.map_np.world_offset) * 5
+    assert env.map_np.road_raster[int(px[1]), int(px[0])] > 0
+
+
+def test_batched_step(env):
+    states = [env.reset_np(seed=s, start=5 * s + 3, target=5 * s + 40)
+              for s in range(4)]
+    batch = stack_states(states)
+    controls = jnp.tile(jnp.array([0.0, 0.4, 0.0]), (4, 1))
+    state2, obs = env.step_batch(batch, controls)
+    assert obs['speed'].shape == (4,)
+    # batch-of-1 == scalar consistency
+    s1, o1 = jax.jit(env.step)(states[1], controls[1])
+    np.testing.assert_allclose(np.asarray(o1['position']),
+                               np.asarray(obs['position'][1]), atol=1e-4)
+
+
+def test_route_follower_advances(env):
+    """Drive along the route with a heading controller: the checkpoint must
+    advance and the command must come from route commands."""
+    state = env.reset_np(seed=1, start=0, target=30)
+    step = jax.jit(env.step)
+    for _ in range(200):
+        tgt = state.route.pos[jnp.minimum(state.route.next_idx,
+                                          state.route.length - 1)]
+        to = np.asarray(tgt) - np.asarray(state.ego.pos)
+        yaw = float(state.ego.yaw)
+        desired = np.arctan2(to[1], to[0])
+        err = (desired - yaw + np.pi) % (2 * np.pi) - np.pi
+        control = jnp.array([np.clip(1.2 * err, -1, 1), 0.6, 0.0])
+        state, obs = step(state, control)
+    assert int(state.route.next_idx) > 10
+    assert float(obs['distance_to_goal']) < float(state.route.cumdist[
+        state.route.length - 1])
+
+
+def test_timeout_failure():
+    env = DrivingEnv(EnvConfig(town='Town01'))
+    state = env.reset_np(seed=2, start=0, target=3)
+    # force a tiny timeout: park until failure
+    state = state._replace(episode=state.episode._replace(
+        timeout=jnp.asarray(5.0, jnp.float32)))
+    step = jax.jit(env.step)
+    for _ in range(8):
+        state, obs = step(state, jnp.array([0.0, 0.0, 1.0]))
+    assert bool(state.episode.done)
+    assert not bool(state.episode.success)
+
+
+def test_warmup_resets_clocks(env):
+    states = [env.reset_np(seed=s, start=3, target=77) for s in range(2)]
+    batch = stack_states(states)
+    batch = env.warmup(batch, ticks=10)
+    assert int(batch.episode.tick[0]) == 0
+    # NPCs should have started moving during warmup
+    assert float(jnp.max(batch.npc.speed)) >= 0.0
