@@ -1,0 +1,78 @@
+"""Expert autopilot: route-following PID + hazard stops, fully on-device.
+
+Capability parity with RoamingAgentMine
+(/root/reference/bird_view/models/roaming.py:19-100): heading-error PID to
+the planner's target node (turn PID K_P=1.5, K_I=0.5; speed PID K_P=1.0),
+6 m/s target speed (x0.75 through turns), emergency stop on vehicle /
+red-light / walker hazards. This is the data-collection expert and the
+NoCrash "Autopilot" baseline row.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..constants import (CMD_FOLLOW, CMD_STRAIGHT, EXPERT_TARGET_SPEED,
+                         EXPERT_TURN_SPEED_FACTOR)
+from ..control.pid import PIDState, pid_init, pid_step
+from ..engine.hazards import (red_light_hazard, vehicle_hazard,
+                              walker_hazard)
+from ..engine.lights import light_states
+from ..engine.routing import route_target
+
+
+class ExpertState(NamedTuple):
+    speed_pid: PIDState
+    turn_pid: PIDState
+
+
+def expert_init(batch_shape=()) -> ExpertState:
+    return ExpertState(pid_init(30, batch_shape), pid_init(30, batch_shape))
+
+
+def expert_step(map_data, env_state, agent_state: ExpertState):
+    """One control decision for one env (vmap outside).
+
+    Returns (control (3,), new_agent_state, hazard_flag).
+    """
+    ego = env_state.ego
+    target_pos, target_cmd = route_target(env_state.route)
+
+    ox = jnp.cos(ego.yaw)
+    oy = jnp.sin(ego.yaw)
+    d = target_pos - ego.pos
+    forward = ox * d[0] + oy * d[1]
+    lateral = -oy * d[0] + ox * d[1]
+    theta = jnp.arctan2(lateral, forward)
+
+    turn_pid, steer = pid_step(agent_state.turn_pid, theta,
+                               1.5, 0.5, 0.0)
+
+    target_speed = jnp.where(
+        (target_cmd == CMD_STRAIGHT) | (target_cmd == CMD_FOLLOW),
+        EXPERT_TARGET_SPEED, EXPERT_TARGET_SPEED * EXPERT_TURN_SPEED_FACTOR)
+    speed_pid, throttle = pid_step(agent_state.speed_pid,
+                                   target_speed - ego.speed, 1.0, 0.0, 0.0)
+
+    lstate = light_states(map_data.light_junction, map_data.light_phase,
+                          map_data.junction_n_phases,
+                          env_state.episode.light_t0,
+                          env_state.episode.tick)
+    h_veh = vehicle_hazard(ego.pos, ego.yaw, env_state.npc.pos,
+                           env_state.npc.yaw, env_state.npc.active)
+    h_light = red_light_hazard(ego.pos, ego.yaw, lstate,
+                               map_data.light_stop_pos,
+                               map_data.light_stop_yaw)
+    h_walk = walker_hazard(ego.pos, ego.yaw, env_state.walkers.pos,
+                           env_state.walkers.active,
+                           map_data.road_raster, map_data.world_offset)
+    hazard = h_veh | h_light | h_walk
+
+    steer = jnp.clip(steer, -1.0, 1.0)
+    throttle = jnp.clip(throttle, 0.0, 1.0)
+    control = jnp.where(
+        hazard,
+        jnp.array([0.0, 0.0, 1.0]),
+        jnp.stack([steer, throttle, jnp.zeros_like(steer)]))
+    return control, ExpertState(speed_pid, turn_pid), hazard

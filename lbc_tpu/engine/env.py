@@ -261,6 +261,34 @@ class DrivingEnv:
         }
         return new_state, obs
 
+    def observe(self, state: EnvState) -> dict:
+        """Observation dict for the *current* state (no stepping): what
+        get_observations returns in the reference (carla_utils.py:574-589,
+        goal_suite.py:68-75) minus the rendered sensors, which live in
+        lbc_tpu.render."""
+        ego = state.ego
+        route = state.route
+        fwd = jnp.stack([jnp.cos(ego.yaw), jnp.sin(ego.yaw)])
+        vel = fwd * ego.speed
+        return {
+            'position': ego.pos,
+            'orientation': fwd,
+            'velocity': vel,
+            'acceleration': (vel - ego.prev_vel) / DT,
+            'speed': ego.speed,
+            'command': route.command,
+            'node': route.pos[jnp.clip(route.checkpoint_idx, 0,
+                                       route.length - 1)],
+            'next': route.pos[jnp.minimum(route.next_idx,
+                                          route.length - 1)],
+            'collided': state.episode.collided,
+            'invaded': state.episode.invaded,
+            'distance_to_goal': distance_to_goal(route),
+            'done': state.episode.done,
+            'success': state.episode.success,
+            'tick': state.episode.tick,
+        }
+
     # ----------------------------------------------------------- conveniences
     @cached_property
     def step_batch(self):

@@ -1,0 +1,70 @@
+"""Fused closed-loop rollouts: agent + world in one lax.scan.
+
+This is the structure that turns the reference's ~10 env-steps/sec
+client/server hot loop (SURVEY.md section 3.1) into >= 1e5 batched
+steps/sec: agent policy, controller, dynamics, actors, trackers and
+observations execute as one jitted program per tick, vmapped over the env
+batch, with done-masking instead of per-env control flow.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class RolloutMetrics(NamedTuple):
+    done: jnp.ndarray        # (B,) bool
+    success: jnp.ndarray     # (B,) bool
+    collided: jnp.ndarray    # (B,) bool
+    ticks: jnp.ndarray       # (B,) int32 ticks consumed until done/cutoff
+    ran_lights: jnp.ndarray  # (B,) int32
+
+
+def make_rollout(env, agent_step: Callable, n_steps: int,
+                 collect: Callable = None):
+    """Build rollout(env_states, agent_states) -> (final env/agent states,
+    metrics, collected).
+
+    agent_step(map_data, env_state, obs, agent_state)
+        -> (control (3,), agent_state, aux)
+    collect(env_state, obs, control, aux) -> pytree recorded per step
+    (stacked along time at axis 0); None disables trajectory recording.
+    """
+    map_data = env.map_data
+
+    def one_env_step(env_state, agent_state):
+        obs = env.observe(env_state)
+        control, new_agent_state, aux = agent_step(
+            map_data, env_state, obs, agent_state)
+        new_env_state, new_obs = env.step(env_state, control)
+        done = env_state.episode.done   # scalar cond broadcasts per leaf
+        frozen = jax.tree.map(lambda new, old: jnp.where(done, old, new),
+                              new_env_state, env_state)
+        agent_out = jax.tree.map(
+            lambda new, old: jnp.where(done, old, new),
+            new_agent_state, agent_state)
+        rec = None
+        if collect is not None:
+            rec = collect(env_state, obs, control, aux)
+        return frozen, agent_out, rec
+
+    batched = jax.vmap(one_env_step)
+
+    def body(carry, _):
+        env_states, agent_states = carry
+        env_states, agent_states, rec = batched(env_states, agent_states)
+        return (env_states, agent_states), rec
+
+    @jax.jit
+    def rollout(env_states, agent_states):
+        (env_states, agent_states), recs = jax.lax.scan(
+            body, (env_states, agent_states), None, length=n_steps)
+        ep = env_states.episode
+        metrics = RolloutMetrics(
+            done=ep.done, success=ep.success, collided=ep.collided,
+            ticks=ep.tick, ran_lights=ep.total_lights_ran)
+        return env_states, agent_states, metrics, recs
+
+    return rollout
