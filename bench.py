@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched env-steps/sec on one chip.
+
+Runs the full closed-loop stack — world step (dynamics, NPC traffic,
+walkers, lights, collisions, route follower) + BEV render + privileged
+network + circle-fit/PID controller — as one jitted scan, vmapped over a
+batch of Town01 environments with regular traffic.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's effective rate is 1 env x 10 Hz per CARLA server
+client (BASELINE.md), i.e. 10 env-steps/sec.
+"""
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, '.')
+
+BASELINE_STEPS_PER_SEC = 10.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch', type=int, default=192)
+    ap.add_argument('--steps', type=int, default=100)
+    ap.add_argument('--agent', choices=['privileged', 'expert'],
+                    default='privileged')
+    ap.add_argument('--town', default='Town01')
+    ap.add_argument('--vehicles', type=int, default=20)
+    ap.add_argument('--walkers', type=int, default=50)
+    ap.add_argument('--dtype', choices=['bf16', 'f32'], default='bf16')
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from lbc_tpu.agents import expert_init, expert_step
+    from lbc_tpu.engine import DrivingEnv, EnvConfig, stack_states
+    from lbc_tpu.engine.rollout import make_rollout
+
+    env = DrivingEnv(EnvConfig(town=args.town, n_vehicles=args.vehicles,
+                               n_pedestrians=args.walkers))
+
+    # Reset a handful of distinct tasks and tile them to the full batch
+    # (route planning is host-side; tiling keeps bench startup fast).
+    n_proto = min(args.batch, 8)
+    protos = [env.reset_np(seed=s, start=11 * s + 7, target=11 * s + 60)
+              for s in range(n_proto)]
+    batch = stack_states(protos)
+    reps = -(-args.batch // n_proto)
+    batch = jax.tree.map(
+        lambda x: jnp.tile(x, (reps,) + (1,) * (x.ndim - 1))[:args.batch],
+        batch)
+
+    if args.agent == 'expert':
+        def agent_step(m, s, obs, a):
+            c, a2, h = expert_step(m, s, a)
+            return c, a2, h
+        agent0 = jax.tree.map(
+            lambda x: jnp.stack([x] * args.batch), expert_init())
+    else:
+        from lbc_tpu.agents import make_privileged_agent, privileged_init
+        from lbc_tpu.models import BirdviewPolicy
+        dtype = jnp.bfloat16 if args.dtype == 'bf16' else jnp.float32
+        model = BirdviewPolicy(dtype=dtype)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 192, 192, 7)),
+            jnp.zeros((1,)), jnp.zeros((1, 4)))
+        agent_step = make_privileged_agent(model, variables)
+        agent0 = jax.tree.map(
+            lambda x: jnp.stack([x] * args.batch), privileged_init())
+
+    rollout = make_rollout(env, agent_step, args.steps)
+
+    # compile + warm
+    t0 = time.time()
+    out = rollout(batch, agent0)
+    jax.block_until_ready(out[2])
+    compile_s = time.time() - t0
+
+    # timed run
+    t0 = time.time()
+    out = rollout(batch, agent0)
+    jax.block_until_ready(out[2])
+    dt = time.time() - t0
+
+    steps_per_sec = args.batch * args.steps / dt
+    result = {
+        'metric': 'env-steps/sec/chip (batched Town01, %s agent, '
+                  '%dv/%dp traffic)' % (args.agent, args.vehicles,
+                                        args.walkers),
+        'value': round(steps_per_sec, 1),
+        'unit': 'env-steps/sec',
+        'vs_baseline': round(steps_per_sec / BASELINE_STEPS_PER_SEC, 1),
+    }
+    print(json.dumps(result))
+    print(f'# batch={args.batch} steps={args.steps} run={dt:.2f}s '
+          f'compile={compile_s:.1f}s device={jax.devices()[0].device_kind}',
+          file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,3 @@
+from .mesh import data_sharding, make_mesh, replicated, shard_batch
+
+__all__ = ['data_sharding', 'make_mesh', 'replicated', 'shard_batch']

@@ -1,0 +1,43 @@
+"""Device mesh + sharding helpers.
+
+The reference has no distributed machinery (SURVEY.md section 2.2); here
+the batch-of-environments and data-parallel training shard over a
+jax.sharding.Mesh, with XLA inserting ICI collectives. Multi-host (DCN)
+extends the same mesh via jax.distributed.initialize.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_names: Sequence[str] = ('data',)) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if len(axis_names) == 1:
+        shape = (n,)
+    else:
+        # fold extra axes as 1 except the first
+        shape = (n,) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.array(devices).reshape(shape), axis_names)
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis sharded over 'data', rest replicated."""
+    return NamedSharding(mesh, P('data'))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a pytree with its leading axis sharded over the mesh."""
+    sh = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
