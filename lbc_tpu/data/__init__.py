@@ -1,0 +1,19 @@
+"""Data pipeline (reference: bird_view/utils/datasets/, augmenter.py,
+data_collector.py, training/phase2_utils.py)."""
+from .augment import AugmentParams, anneal, augment_batch, augment_image
+from .collect import collect_episodes, make_noisy_expert, noisy_expert_init
+from .datasets import BatchSampler, FrameDataset, SampleConfig, \
+    world_to_crop_pixel
+from .episode_store import (Episode, convert_lmdb_episode, have_lmdb,
+                            list_episodes, pack_birdview, unpack_birdview,
+                            unpack_birdview_jnp, write_episode)
+from .replay import ReplayBuffer
+
+__all__ = [
+    'AugmentParams', 'anneal', 'augment_batch', 'augment_image',
+    'collect_episodes', 'make_noisy_expert', 'noisy_expert_init',
+    'BatchSampler', 'FrameDataset', 'SampleConfig', 'world_to_crop_pixel',
+    'Episode', 'convert_lmdb_episode', 'have_lmdb', 'list_episodes',
+    'pack_birdview', 'unpack_birdview', 'unpack_birdview_jnp',
+    'write_episode', 'ReplayBuffer',
+]

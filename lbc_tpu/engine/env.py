@@ -42,6 +42,11 @@ class EnvConfig:
     col_is_failure: bool = False
     respawn_peds: bool = True
     success_dist: float = SUCCESS_DIST
+    # planner parameters: (2.5, 9.0, 1.5) for benchmarks (goal_suite.py:49),
+    # (1.0, 7.5, 5.0) for the data collector (data_collector.py:118)
+    route_resolution: float = 2.5
+    threshold_before: float = 9.0
+    threshold_after: float = 1.5
 
     def __post_init__(self):
         object.__setattr__(self, 'max_vehicles',
@@ -77,7 +82,8 @@ class DrivingEnv:
         start_yaw = spawn_yaw[start % len(spawn_pos)]
         target_pos = spawn_pos[target % len(spawn_pos)]
 
-        route_pos, route_cmd = self.net.plan_route(start_pos, target_pos)
+        route_pos, route_cmd = self.net.plan_route(
+            start_pos, target_pos, resolution=cfg.route_resolution)
         route = make_route_state(route_pos, route_cmd)
         timeout = route_timeout_frames(route_pos)
 
@@ -215,7 +221,8 @@ class DrivingEnv:
                                ep.last_light)
 
         # --- route follower (goal_suite.py:58-66) ---
-        route = route_step(state.route, pos)
+        route = route_step(state.route, pos, cfg.threshold_before,
+                           cfg.threshold_after)
         target_pos_node, _ = route_target(route)
 
         timestamp_active = ep.timestamp_active + 1

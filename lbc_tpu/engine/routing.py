@@ -50,8 +50,14 @@ def route_timeout_frames(route_pos: np.ndarray) -> float:
     return timeout_s * FPS
 
 
-def route_step(route: RouteState, ego_pos) -> RouteState:
-    """One planner tick (single env; vmap outside)."""
+def route_step(route: RouteState, ego_pos,
+               threshold_before: float = THRESHOLD_BEFORE,
+               threshold_after: float = THRESHOLD_AFTER) -> RouteState:
+    """One planner tick (single env; vmap outside).
+
+    Benchmark episodes use (9.0, 1.5) per goal_suite.py:49; the data
+    collector's NoisyAgent plans at (7.5, 5.0) per data_collector.py:118.
+    """
     def body(o, carry):
         cur_cmd, max_o = carry
         idx = jnp.minimum(route.next_idx + o, route.length - 1)
@@ -60,7 +66,7 @@ def route_step(route: RouteState, ego_pos) -> RouteState:
         dist = jnp.linalg.norm(ego_pos - node_pos)
         threshold = jnp.where(
             (cur_cmd == CMD_FOLLOW) & (node_cmd != CMD_FOLLOW),
-            THRESHOLD_BEFORE, THRESHOLD_AFTER)
+            threshold_before, threshold_after)
         in_range = (dist < threshold) & (route.next_idx + o < route.length)
         cur_cmd = jnp.where(in_range, node_cmd, cur_cmd)
         max_o = jnp.where(in_range, o, max_o)

@@ -315,7 +315,8 @@ class RoadNetwork:
             self.junction_n_phases[node] = len(ids)
 
     # ---------------------------------------------------------------- routing
-    def plan_route(self, start_pos, target_pos):
+    def plan_route(self, start_pos, target_pos,
+                   resolution: float = ROUTE_RESOLUTION):
         """A point-to-point route: list of (x, y, command) at 2.5 m.
 
         Equivalent of GlobalRoutePlanner.trace_route + LocalPlannerNew
