@@ -1,18 +1,20 @@
-"""Test config: force an 8-device virtual CPU mesh so sharding tests run
-without TPUs (mirrors the reference's absent test story with the TPU-native
-plan from SURVEY.md section 4)."""
+"""Test config: force an 8-device virtual CPU mesh so engine/sharding
+tests run fast and deterministically without the tunneled TPU (SURVEY.md
+section 4 test plan).
+
+Note: this environment's axon TPU plugin registers itself at interpreter
+startup (sitecustomize) and overrides JAX_PLATFORMS with
+jax.config.update('jax_platforms', 'axon,cpu'); env vars alone do NOT
+switch the backend. Re-updating the config before any backend
+initialization does.
+"""
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
