@@ -1,0 +1,229 @@
+"""Phase 2: on-policy DAgger fine-tuning of the image agent.
+
+Capability parity with training/train_image_phase2.py + phase2_utils.py:
+per episode, on-policy rollouts execute a mix of student and teacher
+control with P(student) = 0.5 + 0.5 (1 - beta^episode) (beta = 0.95,
+train_image_phase2.py:45-58); frames store (rgb, command, speed, teacher
+BEV waypoints, BEV crop) with importance weights
+w = mean_i 0.7^i * sum_xy(|student - teacher| * (0.7, 0.3))
+(phase2_utils.py:50-59); the last 5 frames before a collision are dropped
+(train_image_phase2.py:144-145); each episode trains 5 epochs with a fresh
+Adam (train_image_phase2.py:162-164) on importance-sampled batches whose
+weights are refreshed from the current student loss.
+
+TPU-first: rollouts are batched (one env per train weather at once, more
+if requested); both networks, both controllers, the BEV + camera renders
+and the control-mixing RNG live inside one jitted scan.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..constants import AGENT_CROP_DX, TRAIN_WEATHERS
+from ..control import (ControllerState, birdview_agent_control,
+                       controller_init, image_agent_control)
+from ..data.replay import ReplayBuffer
+from ..engine import DrivingEnv, EnvConfig, stack_states
+from ..engine.rollout import make_rollout
+from ..models import crop_birdview, one_hot_command
+from ..render.bev import render_bev_state
+from ..render.camera import render_camera_state
+from .coord_converter import image_to_bev
+from .train_state import TrainState
+
+DECAY = np.array([0.7 ** i for i in range(5)], np.float32)
+XY_BIAS = np.array([0.7, 0.3], np.float32)
+
+
+def sample_weight(student_bev, teacher_bev):
+    """phase2_utils.py:50-59 / train_image_phase2.py:74-81; both inputs in
+    [-1, 1] BEV coords, shape (..., 5, 2)."""
+    err = np.abs(np.asarray(student_bev) - np.asarray(teacher_bev))
+    return np.mean((err * XY_BIAS).sum(axis=-1) * DECAY, axis=-1)
+
+
+class DaggerAgentState(NamedTuple):
+    img_ctrl: ControllerState
+    bv_ctrl: ControllerState
+    rng: jnp.ndarray
+
+
+def dagger_agent_init(seed=0) -> DaggerAgentState:
+    return DaggerAgentState(controller_init(), controller_init(),
+                            jax.random.PRNGKey(seed))
+
+
+def make_dagger_agent(student_model, student_vars, teacher_model,
+                      teacher_vars, episode: int, beta: float = 0.95):
+    p_student = 0.5 + 0.5 * (1.0 - beta ** episode)
+
+    def step(map_data, env_state, obs, astate: DaggerAgentState):
+        rgb = render_camera_state(map_data, env_state)
+        bev = render_bev_state(map_data, env_state)
+        crop = crop_birdview(bev, dx=AGENT_CROP_DX)
+
+        speed = obs['speed']
+        command = obs['command']
+        cmd_oh = one_hot_command(command[None])
+
+        s_out = student_model.apply(student_vars, rgb[None], speed[None],
+                                    cmd_oh)
+        s_locs = (s_out[0] if isinstance(s_out, tuple) else s_out)[0]
+        img_control, img_ctrl = image_agent_control(
+            s_locs, speed, command, astate.img_ctrl)
+
+        t_out = teacher_model.apply(teacher_vars, crop[None], speed[None],
+                                    cmd_oh)
+        t_locs = (t_out[0] if isinstance(t_out, tuple) else t_out)[0]
+        bv_control, bv_ctrl = birdview_agent_control(
+            t_locs, speed, command, astate.bv_ctrl)
+
+        key, k = jax.random.split(astate.rng)
+        use_student = jax.random.uniform(k, ()) < p_student
+        control = jnp.where(use_student, img_control, bv_control)
+
+        packed = jnp.zeros(crop.shape[:2], jnp.uint8)
+        for c in range(7):
+            packed = packed | ((crop[..., c] > 0).astype(jnp.uint8) << c)
+        aux = {
+            'rgb': (rgb * 255).astype(jnp.uint8),
+            'bev_packed': packed,
+            'command': command,
+            'speed': speed,
+            'teacher_locs': t_locs,
+            'student_locs_bev': image_to_bev(s_locs),
+            'collided': env_state.episode.collided,
+            'done': env_state.episode.done,
+        }
+        return control, DaggerAgentState(img_ctrl, bv_ctrl, key), aux
+
+    return step
+
+
+def dagger_rollout(buffer: ReplayBuffer, student_model, student_vars,
+                   teacher_model, teacher_vars, episode: int,
+                   episode_length: int = 1000, town: str = 'Town01',
+                   n_vehicles: int = 100, n_pedestrians: int = 250,
+                   weathers=TRAIN_WEATHERS, seed: int = 0,
+                   env: DrivingEnv = None, pose_pairs=None) -> int:
+    """One DAgger data-collection episode: rollouts across the train
+    weathers simultaneously; frames added to the replay buffer."""
+    if env is None:
+        env = DrivingEnv(EnvConfig(town=town, n_vehicles=n_vehicles,
+                                   n_pedestrians=n_pedestrians))
+    rng = np.random.RandomState(seed * 131 + episode)
+    n_spawn = len(env.map_np.spawn_pos)
+
+    states = []
+    for w in weathers:
+        if pose_pairs is not None:
+            start, target = pose_pairs[rng.randint(len(pose_pairs))]
+        else:
+            start, target = rng.randint(0, n_spawn, 2)
+        states.append(env.reset_np(seed=seed + episode, start=start,
+                                   target=target, weather=w))
+    batch = stack_states(states)
+    if n_vehicles or n_pedestrians:
+        batch = env.warmup(batch, ticks=50)
+
+    agent_step = make_dagger_agent(student_model, student_vars,
+                                   teacher_model, teacher_vars, episode)
+    agents = jax.tree.map(
+        lambda *x: jnp.stack(x),
+        *[dagger_agent_init(seed * 733 + episode * 17 + i)
+          for i in range(len(states))])
+
+    def collect(env_state, obs, control, aux):
+        return aux
+
+    rollout = make_rollout(env, agent_step, episode_length,
+                           collect=collect)
+    final, _, metrics, recs = rollout(batch, agents)
+
+    done_t = np.asarray(recs['done'])          # (T, B)
+    collided_t = np.asarray(recs['collided'])
+    teacher_locs = np.asarray(recs['teacher_locs'])
+    student_locs = np.asarray(recs['student_locs_bev'])
+    weights = sample_weight(student_locs, teacher_locs)   # (T, B)
+
+    added = 0
+    for b in range(len(states)):
+        n = int(np.argmax(done_t[:, b])) if done_t[:, b].any() \
+            else episode_length
+        if collided_t[:, b].any():
+            n = max(n - 5, 0)      # drop last 5 pre-collision frames
+        for t in range(n):
+            buffer.add(
+                weight=float(weights[t, b]),
+                rgb=np.asarray(recs['rgb'][t, b]),
+                bev_packed=np.asarray(recs['bev_packed'][t, b]),
+                command=int(np.asarray(recs['command'][t, b])),
+                speed=float(np.asarray(recs['speed'][t, b])),
+                teacher_locs=teacher_locs[t, b])
+            added += 1
+    return added
+
+
+def dagger_train_episode(buffer: ReplayBuffer, student_model,
+                         student_state: TrainState, teacher_model,
+                         teacher_vars, lr=1e-4, epochs: int = 5,
+                         batch_size: int = 64,
+                         batches_per_epoch: int = 100) -> TrainState:
+    """5 epochs with a fresh Adam over importance-sampled batches
+    (train_image_phase2.py:152-258)."""
+    from ..data.episode_store import unpack_birdview
+
+    def train_step(state, batch):
+        cmd = one_hot_command(batch['command'])
+
+        def loss_fn(params):
+            variables = {'params': params,
+                         'batch_stats': state.batch_stats}
+            (sel, branches), mut = student_model.apply(
+                variables, batch['rgb'], batch['speed'], cmd, train=True,
+                mutable=['batch_stats'])
+            pred_bev = image_to_bev(branches)
+            t_branches = teacher_model.apply(
+                teacher_vars, batch['birdview'], batch['speed'], cmd,
+                train=False)[1]
+            per_sample = jnp.mean(jnp.abs(pred_bev - t_branches),
+                                  axis=(1, 2, 3))
+            # refreshed importance weights from the selected branch
+            sel_bev = image_to_bev(sel)
+            t_sel = jnp.einsum('bkso,bk->bso', t_branches,
+                               cmd.astype(t_branches.dtype))
+            err = jnp.abs(sel_bev - t_sel)
+            new_w = jnp.mean(jnp.sum(err * jnp.asarray(XY_BIAS), -1)
+                             * jnp.asarray(DECAY), -1)
+            return jnp.mean(per_sample), (mut['batch_stats'], new_w)
+
+        (loss, (stats, new_w)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, stats, opt), loss, new_w
+
+    jit_step = jax.jit(train_step)
+    state = student_state
+    for _ in range(epochs):
+        tx = optax.adam(lr)     # fresh optimizer each epoch
+        state = state._replace(opt_state=tx.init(state.params))
+        buffer.normalize_weights()
+        for _ in range(batches_per_epoch):
+            idx, raw = buffer.sample(batch_size)
+            batch = {
+                'rgb': jnp.asarray(raw['rgb'], jnp.float32) / 255.0,
+                'birdview': jnp.asarray(
+                    unpack_birdview(raw['bev_packed'])),
+                'command': jnp.asarray(raw['command'], jnp.int32),
+                'speed': jnp.asarray(raw['speed'], jnp.float32),
+            }
+            state, loss, new_w = jit_step(state, batch)
+            buffer.update_weights(idx, np.asarray(new_w))
+    return state
