@@ -49,6 +49,9 @@ class MapData(NamedTuple):
     junction_n_phases: np.ndarray  # (J,) int32
     # walker navigation
     walker_spawn: np.ndarray      # (WS, 2) f32 points on the sidewalk band
+    # analytic road geometry (gather-free rendering)
+    road_capsules: np.ndarray     # (M, 5) f32 [x0,y0,x1,y1,half_width]
+    lane_dashes: np.ndarray       # (M, 6) f32 [x0,y0,x1,y1,s0,seg_len]
 
     @property
     def n_waypoints(self):
@@ -148,6 +151,8 @@ def build_map_data(town: str) -> MapData:
         junction_n_phases=net.junction_n_phases,
         walker_spawn=_walker_spawn_points(
             road, walkable, net.world_offset, net.pixels_per_meter),
+        road_capsules=net.road_capsules,
+        lane_dashes=net.lane_dashes,
     )
 
 

@@ -86,6 +86,27 @@ def trim_polyline(points: np.ndarray, trim_start: float,
     return pts[keep]
 
 
+def rdp(points: np.ndarray, eps: float) -> np.ndarray:
+    """Ramer-Douglas-Peucker polyline simplification (meters)."""
+    pts = np.asarray(points, np.float64)
+    if len(pts) < 3:
+        return pts
+    start, end = pts[0], pts[-1]
+    d = end - start
+    norm = np.hypot(*d)
+    if norm < 1e-9:
+        dist = np.hypot(*(pts - start).T)
+    else:
+        dist = np.abs(d[0] * (pts[:, 1] - start[1])
+                      - d[1] * (pts[:, 0] - start[0])) / norm
+    idx = int(np.argmax(dist))
+    if dist[idx] > eps:
+        left = rdp(pts[:idx + 1], eps)
+        right = rdp(pts[idx:], eps)
+        return np.vstack([left[:-1], right])
+    return np.array([start, end])
+
+
 def bezier(p0, p1, p2, p3, n):
     t = np.linspace(0.0, 1.0, n)[:, None]
     return ((1 - t) ** 3 * p0 + 3 * (1 - t) ** 2 * t * p1
@@ -128,6 +149,7 @@ class RoadNetwork:
         self._build_lattice()
         self._build_spawn_points()
         self._assign_lights()
+        self._build_capsules()
 
     # ------------------------------------------------------------------ lanes
     def _build_lanes(self):
@@ -323,6 +345,32 @@ class RoadNetwork:
             for k, i in enumerate(ids):
                 self.light_phase[i] = k
             self.junction_n_phases[node] = len(ids)
+
+    # --------------------------------------------------------------- capsules
+    def _build_capsules(self):
+        """Roads as capsule segments for gather-free analytic rendering.
+
+        TPU rasters are memory-bound (random gathers); instead each road
+        edge centerline becomes straight sub-segments with a half-width,
+        and renderers evaluate point-to-segment distance on the VPU. The
+        dash phase for lane markings is the arclength at each sub-segment
+        start (3 m on / 3 m off divider).
+        """
+        caps = []      # x0, y0, x1, y1, half_width
+        dashes = []    # x0, y0, x1, y1, s0, seg_len
+        for edge in self.raw_edges:
+            pts = rdp(np.asarray(edge['points'], np.float64), eps=0.15)
+            hw = float(edge.get('half_width_m', self.lane_width))
+            s = 0.0
+            for a, b in zip(pts[:-1], pts[1:]):
+                seg_len = float(np.hypot(*(b - a)))
+                if seg_len < 1e-3:
+                    continue
+                caps.append([a[0], a[1], b[0], b[1], hw])
+                dashes.append([a[0], a[1], b[0], b[1], s, seg_len])
+                s += seg_len
+        self.road_capsules = np.array(caps, np.float32)
+        self.lane_dashes = np.array(dashes, np.float32)
 
     # ---------------------------------------------------------------- routing
     def plan_route(self, start_pos, target_pos,

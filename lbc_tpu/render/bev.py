@@ -27,10 +27,12 @@ from ..constants import (EGO_EXTENT_X, EGO_EXTENT_Y, EGO_WINDOW_COL,
                          PIXELS_PER_METER, PIXELS_PER_METER_RENDER,
                          WALKER_EXTENT)
 from ..engine.lights import GREEN, RED, YELLOW
+from .geometry import road_lane_channels, select_capsules
 
 K_VEHICLES = 24
 K_WALKERS = 32
 K_LIGHTS = 12
+K_ROAD_SEGMENTS = 16
 RASTER_COVERAGE = 0.15   # m, half-pixel anti-undershoot on box edges
 
 
@@ -84,8 +86,16 @@ def render_bev(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw, npc_active,
     """Single-env BEV -> (320, 320, 7) float32 in {0, 1}. vmap over envs."""
     w = pixel_world_coords(ego_pos, ego_yaw)
 
-    road = _sample_raster(map_data.road_raster, map_data.world_offset, w)
-    lane = _sample_raster(map_data.lane_raster, map_data.world_offset, w)
+    # static channels: analytic capsule tests against the K nearest road
+    # segments (gather-free; see render.geometry)
+    fwd = jnp.stack([jnp.cos(ego_yaw), jnp.sin(ego_yaw)])
+    window_center = ego_pos + 20.0 * fwd
+    caps, dashes = select_capsules(map_data.road_capsules,
+                                   map_data.lane_dashes, window_center,
+                                   K_ROAD_SEGMENTS)
+    road_b, lane_b = road_lane_channels(w, caps, dashes)
+    road = road_b.astype(jnp.float32)
+    lane = lane_b.astype(jnp.float32)
 
     vi, vv = _select_nearest(npc_pos, npc_active, ego_pos, K_VEHICLES)
     vehicle = _boxes_channel(w, npc_pos[vi], npc_yaw[vi],

@@ -137,24 +137,22 @@ def render_camera(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw, npc_active,
     dz_col = jnp.broadcast_to(-vv, (CAMERA_HEIGHT, CAMERA_WIDTH, 1))
     dirn = jnp.concatenate([dxy, dz_col], axis=-1)       # (H, W, 3)
 
-    # --- ground ---
+    # --- ground (analytic capsule classification; gather-free) ---
+    from .geometry import ground_class, select_capsules
     dz = dirn[..., 2]
     t_ground = jnp.where(dz < -1e-4, -CAMERA_Z / dz, MAX_DEPTH)
     t_ground = jnp.clip(t_ground, 0.0, MAX_DEPTH)
     gx = origin[0] + t_ground * dirn[..., 0]
     gy = origin[1] + t_ground * dirn[..., 1]
-    px = jnp.round((gx - map_data.world_offset[0]) * PIXELS_PER_METER)
-    py = jnp.round((gy - map_data.world_offset[1]) * PIXELS_PER_METER)
-    hh, ww = map_data.road_raster.shape
-    ix = jnp.clip(px.astype(jnp.int32), 0, ww - 1)
-    iy = jnp.clip(py.astype(jnp.int32), 0, hh - 1)
-    on_road = map_data.road_raster[iy, ix] > 0
-    on_lane = map_data.lane_raster[iy, ix] > 0
-    on_walk = map_data.walkable_raster[iy, ix] > 0
+    gpts = jnp.stack([gx, gy], axis=-1)
+    caps, dashes = select_capsules(map_data.road_capsules,
+                                   map_data.lane_dashes,
+                                   cam_xy + 25.0 * fwd, 16)
+    gclass = ground_class(gpts, caps, dashes)
     ground_color = jnp.where(
-        on_lane[..., None], LANE_COLOR,
-        jnp.where(on_road[..., None], ROAD_COLOR,
-                  jnp.where(on_walk[..., None], SIDEWALK_COLOR,
+        (gclass == 3)[..., None], LANE_COLOR,
+        jnp.where((gclass == 2)[..., None], ROAD_COLOR,
+                  jnp.where((gclass == 1)[..., None], SIDEWALK_COLOR,
                             OFFROAD_COLOR)))
     below_horizon = dz < -1e-4
 
