@@ -30,7 +30,8 @@ def run_benchmark(agent_factory: Callable, suite: SuiteConfig,
                   log_dir, seed: int = 0, resume: bool = True,
                   batch_size: int = 64, chunk_ticks: int = 1000,
                   max_ticks: Optional[int] = None, warmup_ticks: int = 50,
-                  show_progress: bool = True) -> pd.DataFrame:
+                  show_progress: bool = True,
+                  diagnostics: bool = False) -> pd.DataFrame:
     """agent_factory(env) -> (agent_step, agent_state_init_fn).
 
     agent_step(map_data, env_state, obs, agent_state) -> (control, state,
@@ -76,16 +77,46 @@ def run_benchmark(agent_factory: Callable, suite: SuiteConfig,
         cap = int(max(timeouts)) + 10
         if max_ticks is not None:
             cap = min(cap, max_ticks)
-        rollout = make_rollout(env, agent_step, chunk_ticks)
+
+        collect = None
+        if diagnostics:
+            # per-tick diagnostics rows (run_benchmark.py:234,244 analog)
+            def collect(env_state, obs, control, aux):  # noqa: F811
+                return {
+                    'x': obs['position'][0], 'y': obs['position'][1],
+                    'speed': obs['speed'],
+                    'collided': obs['collided'],
+                    'invaded': obs['invaded'],
+                    'ran_light': env_state.episode.ran_light,
+                    'done': obs['done'],
+                }
+        rollout = make_rollout(env, agent_step, chunk_ticks,
+                               collect=collect)
 
         t0 = time.time()
         ticks_done = 0
+        diag_chunks = []
         while ticks_done < cap:
-            batch, agent_state, metrics, _ = rollout(batch, agent_state)
+            batch, agent_state, metrics, recs = rollout(batch, agent_state)
+            if diagnostics:
+                diag_chunks.append(
+                    {k: np.asarray(v) for k, v in recs.items()})
             ticks_done += chunk_ticks
             if bool(jnp.all(metrics.done)):
                 break
         wall = time.time() - t0
+
+        if diagnostics and diag_chunks:
+            diag_dir = log_dir / 'diagnostics'
+            diag_dir.mkdir(exist_ok=True)
+            full = {k: np.concatenate([c[k] for c in diag_chunks])
+                    for k in diag_chunks[0]}
+            for k2, (weather, start, target, name) in enumerate(chunk):
+                alive = ~full['done'][:, k2]
+                n = int(alive.sum()) + 1
+                pd.DataFrame({key: full[key][:n, k2]
+                              for key in full}).to_csv(
+                    diag_dir / f'{name}.csv', index=False)
 
         done = np.asarray(metrics.done)
         success = np.asarray(metrics.success)
