@@ -1,0 +1,42 @@
+"""Pallas BEV kernel vs the XLA reference implementation."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbc_tpu.engine import DrivingEnv, EnvConfig
+from lbc_tpu.engine.lights import RED
+from lbc_tpu.ops import render_bev_pallas
+from lbc_tpu.render import render_bev
+
+
+@pytest.fixture(scope='module')
+def env():
+    return DrivingEnv(EnvConfig(town='Town01', n_vehicles=6,
+                                n_pedestrians=8))
+
+
+def test_pallas_matches_xla(env):
+    m = env.map_data
+    states = [env.reset_np(seed=s, start=20 + 30 * s, target=90 + s)
+              for s in range(2)]
+    from lbc_tpu.engine import stack_states
+    batch = stack_states(states)
+    ls = jnp.full((2, m.light_pole_pos.shape[0]), RED, jnp.int32)
+
+    ref = jax.vmap(lambda p, y, np_, ny, na, wp, wa, l: render_bev(
+        m, p, y, np_, ny, na, wp, wa, m.light_pole_pos, l))(
+        batch.ego.pos, batch.ego.yaw, batch.npc.pos, batch.npc.yaw,
+        batch.npc.active, batch.walkers.pos, batch.walkers.active, ls)
+
+    out = render_bev_pallas(
+        m, batch.ego.pos, batch.ego.yaw, batch.npc.pos, batch.npc.yaw,
+        batch.npc.active, batch.walkers.pos, batch.walkers.active,
+        jnp.tile(m.light_pole_pos[None], (2, 1, 1)), ls,
+        interpret=True)
+
+    assert out.shape == (2, 320, 320, 7)
+    ref_np = np.asarray(ref)
+    out_np = np.asarray(out)
+    agree = (ref_np == out_np).mean()
+    assert agree > 0.999, f'agreement {agree}'
