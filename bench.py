@@ -59,19 +59,23 @@ def main():
             return c, a2, h
         agent0 = jax.tree.map(
             lambda x: jnp.stack([x] * args.batch), expert_init())
+        batched_agent = False
     else:
-        from lbc_tpu.agents import make_privileged_agent, privileged_init
+        from lbc_tpu.agents.privileged import (
+            make_privileged_agent_batched, privileged_init)
         from lbc_tpu.models import BirdviewPolicy
         dtype = jnp.bfloat16 if args.dtype == 'bf16' else jnp.float32
         model = BirdviewPolicy(dtype=dtype)
         variables = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 192, 192, 7)),
             jnp.zeros((1,)), jnp.zeros((1, 4)))
-        agent_step = make_privileged_agent(model, variables)
+        agent_step = make_privileged_agent_batched(model, variables)
         agent0 = jax.tree.map(
             lambda x: jnp.stack([x] * args.batch), privileged_init())
+        batched_agent = True
 
-    rollout = make_rollout(env, agent_step, args.steps)
+    rollout = make_rollout(env, agent_step, args.steps,
+                           batched_agent=batched_agent)
 
     # compile + warm
     t0 = time.time()

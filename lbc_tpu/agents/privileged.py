@@ -45,3 +45,33 @@ def make_privileged_agent(model: BirdviewPolicy, variables):
         return control, PrivilegedAgentState(ctrl), locations
 
     return step
+
+
+def make_privileged_agent_batched(model: BirdviewPolicy, variables):
+    """Batched-agent variant for make_rollout(batched_agent=True): the BEV
+    render runs through the fused Pallas kernel and the conv net sees the
+    full env batch at once (the fast path used by bench.py)."""
+    import jax
+
+    from ..engine.lights import light_states
+    from ..ops import render_bev_pallas
+
+    def step(map_data, env_states, obs, agent_states):
+        lstate = jax.vmap(lambda t0, t: light_states(
+            map_data.light_junction, map_data.light_phase,
+            map_data.junction_n_phases, t0, t))(
+                env_states.episode.light_t0, env_states.episode.tick)
+        bev = render_bev_pallas(
+            map_data, env_states.ego.pos, env_states.ego.yaw,
+            env_states.npc.pos, env_states.npc.yaw, env_states.npc.active,
+            env_states.walkers.pos, env_states.walkers.active, lstate)
+        crop = crop_birdview(bev, dx=AGENT_CROP_DX)
+        speed = obs['speed']
+        command = obs['command']
+        locations = model.apply(variables, crop, speed,
+                                one_hot_command(command))
+        control, ctrl = birdview_agent_control(
+            locations, speed, command, agent_states.controller)
+        return control, PrivilegedAgentState(ctrl), locations
+
+    return step

@@ -23,34 +23,61 @@ class RolloutMetrics(NamedTuple):
 
 
 def make_rollout(env, agent_step: Callable, n_steps: int,
-                 collect: Callable = None):
+                 collect: Callable = None, batched_agent: bool = False):
     """Build rollout(env_states, agent_states) -> (final env/agent states,
     metrics, collected).
 
     agent_step(map_data, env_state, obs, agent_state)
-        -> (control (3,), agent_state, aux)
+        -> (control (3,), agent_state, aux); with `batched_agent` the
+    agent receives/returns full (B, ...) batches instead of being vmapped
+    per env (lets it call batched kernels like the Pallas BEV render and
+    run the conv net at the full batch size).
     collect(env_state, obs, control, aux) -> pytree recorded per step
     (stacked along time at axis 0); None disables trajectory recording.
     """
     map_data = env.map_data
 
-    def one_env_step(env_state, agent_state):
-        obs = env.observe(env_state)
-        control, new_agent_state, aux = agent_step(
-            map_data, env_state, obs, agent_state)
-        new_env_state, new_obs = env.step(env_state, control)
-        done = env_state.episode.done   # scalar cond broadcasts per leaf
-        frozen = jax.tree.map(lambda new, old: jnp.where(done, old, new),
-                              new_env_state, env_state)
-        agent_out = jax.tree.map(
-            lambda new, old: jnp.where(done, old, new),
-            new_agent_state, agent_state)
-        rec = None
-        if collect is not None:
-            rec = collect(env_state, obs, control, aux)
-        return frozen, agent_out, rec
+    if not batched_agent:
+        def one_env_step(env_state, agent_state):
+            obs = env.observe(env_state)
+            control, new_agent_state, aux = agent_step(
+                map_data, env_state, obs, agent_state)
+            new_env_state, new_obs = env.step(env_state, control)
+            done = env_state.episode.done  # scalar cond broadcasts
+            frozen = jax.tree.map(
+                lambda new, old: jnp.where(done, old, new),
+                new_env_state, env_state)
+            agent_out = jax.tree.map(
+                lambda new, old: jnp.where(done, old, new),
+                new_agent_state, agent_state)
+            rec = None
+            if collect is not None:
+                rec = collect(env_state, obs, control, aux)
+            return frozen, agent_out, rec
 
-    batched = jax.vmap(one_env_step)
+        batched = jax.vmap(one_env_step)
+    else:
+        observe_b = jax.vmap(env.observe)
+        step_b = jax.vmap(env.step)
+        collect_b = jax.vmap(collect) if collect is not None else None
+
+        def batched(env_states, agent_states):
+            obs = observe_b(env_states)
+            control, new_agent_states, aux = agent_step(
+                map_data, env_states, obs, agent_states)
+            new_env_states, _ = step_b(env_states, control)
+            done = env_states.episode.done          # (B,)
+
+            def sel(new, old):
+                d = done.reshape(done.shape + (1,) * (new.ndim - 1))
+                return jnp.where(d, old, new)
+
+            frozen = jax.tree.map(sel, new_env_states, env_states)
+            agent_out = jax.tree.map(sel, new_agent_states, agent_states)
+            rec = None
+            if collect_b is not None:
+                rec = collect_b(env_states, obs, control, aux)
+            return frozen, agent_out, rec
 
     def body(carry, _):
         env_states, agent_states = carry

@@ -29,6 +29,7 @@ from ..render.geometry import (DASH_ON, DASH_PERIOD, LANE_HALF_WIDTH,
 
 TILE_ROWS = 32
 N_TILES = MAP_SIZE // TILE_ROWS
+LIGHT_TABLE_ROWS = 16   # K_LIGHTS padded to a sublane multiple
 
 
 def _bev_kernel(ego_ref, caps_ref, veh_ref, walk_ref, light_ref, out_ref):
@@ -43,14 +44,16 @@ def _bev_kernel(ego_ref, caps_ref, veh_ref, walk_ref, light_ref, out_ref):
     """
     tile = pl.program_id(1)
 
-    ego_x = ego_ref[0, 0]
-    ego_y = ego_ref[0, 1]
-    c = ego_ref[0, 2]
-    s = ego_ref[0, 3]
+    ego_x = ego_ref[0, 0, 0]
+    ego_y = ego_ref[0, 0, 1]
+    c = ego_ref[0, 0, 2]
+    s = ego_ref[0, 0, 3]
 
-    rows = jax.lax.broadcasted_iota(jnp.float32, (TILE_ROWS, MAP_SIZE), 0) \
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_ROWS, MAP_SIZE), 0).astype(jnp.float32) \
         + tile.astype(jnp.float32) * TILE_ROWS
-    cols = jax.lax.broadcasted_iota(jnp.float32, (TILE_ROWS, MAP_SIZE), 1)
+    cols = jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_ROWS, MAP_SIZE), 1).astype(jnp.float32)
     fwd_m = (EGO_WINDOW_ROW - rows) / PIXELS_PER_METER_RENDER
     lat_m = (cols - EGO_WINDOW_COL) / PIXELS_PER_METER_RENDER
     # world = ego + fwd_m * (c, s) + lat_m * (-s, c)
@@ -132,11 +135,12 @@ def _bev_kernel(ego_ref, caps_ref, veh_ref, walk_ref, light_ref, out_ref):
 
 
 def _pack_params(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw, npc_active,
-                 walker_pos, walker_active, light_pos, light_state):
+                 walker_pos, walker_active, light_state):
     """XLA-side per-env selection + packing into small VMEM tables."""
     fwd = jnp.stack([jnp.cos(ego_yaw), jnp.sin(ego_yaw)])
-    ego = jnp.zeros(8, jnp.float32).at[0].set(ego_pos[0]) \
-        .at[1].set(ego_pos[1]).at[2].set(fwd[0]).at[3].set(fwd[1])
+    ego = jnp.zeros((1, 8), jnp.float32).at[0, 0].set(ego_pos[0]) \
+        .at[0, 1].set(ego_pos[1]).at[0, 2].set(fwd[0]) \
+        .at[0, 3].set(fwd[1])
 
     center = ego_pos + 20.0 * fwd
     caps_sel, dash_sel = select_capsules(
@@ -161,11 +165,12 @@ def _pack_params(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw, npc_active,
     walk = walk.at[:kw, 0:2].set(walker_pos[wi])
     walk = walk.at[:kw, 2].set(wv.astype(jnp.float32))
 
+    light_pos = map_data.light_pole_pos
     li, lv = _select_nearest(light_pos,
                              jnp.ones(light_pos.shape[0], bool), ego_pos,
                              K_LIGHTS)
     kl = li.shape[0]
-    lig = jnp.zeros((K_LIGHTS, 8), jnp.float32)
+    lig = jnp.zeros((LIGHT_TABLE_ROWS, 8), jnp.float32)
     lig = lig.at[:kl, 0:2].set(light_pos[li])
     lig = lig.at[:kl, 2].set(light_state[li].astype(jnp.float32))
     lig = lig.at[:kl, 3].set(lv.astype(jnp.float32))
@@ -173,14 +178,15 @@ def _pack_params(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw, npc_active,
 
 
 def render_bev_pallas(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw,
-                      npc_active, walker_pos, walker_active, light_pos,
+                      npc_active, walker_pos, walker_active,
                       light_state, interpret: bool = False):
-    """Batched fused BEV: all leading args batched (B, ...). Returns
+    """Batched fused BEV: all leading args batched (B, ...); light poles
+    come from map_data, light_state is (B, L). Returns
     (B, 320, 320, 7) float32."""
     pack = jax.vmap(partial(_pack_params, map_data))
     ego, caps, veh, walk, lig = pack(ego_pos, ego_yaw, npc_pos, npc_yaw,
                                      npc_active, walker_pos, walker_active,
-                                     light_pos, light_state)
+                                     light_state)
     b = ego.shape[0]
 
     grid = (b, N_TILES)
@@ -188,7 +194,7 @@ def render_bev_pallas(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw,
         _bev_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 8), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 1, 8), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K_ROAD_SEGMENTS, 8), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -196,7 +202,7 @@ def render_bev_pallas(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K_WALKERS, 8), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K_LIGHTS, 8), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, LIGHT_TABLE_ROWS, 8), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

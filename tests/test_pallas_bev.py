@@ -32,8 +32,7 @@ def test_pallas_matches_xla(env):
     out = render_bev_pallas(
         m, batch.ego.pos, batch.ego.yaw, batch.npc.pos, batch.npc.yaw,
         batch.npc.active, batch.walkers.pos, batch.walkers.active,
-        jnp.tile(m.light_pole_pos[None], (2, 1, 1)), ls,
-        interpret=True)
+        ls, interpret=True)
 
     assert out.shape == (2, 320, 320, 7)
     ref_np = np.asarray(ref)
