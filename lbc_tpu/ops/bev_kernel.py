@@ -82,96 +82,65 @@ def _bev_kernel(ego_ref, caps_ref, veh_ref, walk_ref, light_ref, out_ref):
         hit = (d2 <= LANE_HALF_WIDTH * LANE_HALF_WIDTH) & dash_on
         lane = jnp.maximum(lane, hit.astype(jnp.float32))
 
-    out_ref[0, 0] = road
-    out_ref[0, 1] = lane
-    out_ref[0, 2] = zero
-    out_ref[0, 3] = zero
-    out_ref[0, 4] = zero
-    out_ref[0, 5] = zero
-    out_ref[0, 6] = zero
-    out_ref[0, 7] = zero
-
-    # Actor loops are predicated per row-tile: cols 5/6 of each table hold
-    # the [tile_lo, tile_hi] row-tile span computed in XLA, so a tile only
-    # pays for actors it can intersect (most pairs skip).
-    tile_f = tile.astype(jnp.float32)
-
+    vehicle = zero
     ex = EGO_EXTENT_X + RASTER_COVERAGE
     ey = EGO_EXTENT_Y + RASTER_COVERAGE
     for k in range(K_VEHICLES):
-        @pl.when((tile_f >= veh_ref[0, k, 5])
-                 & (tile_f <= veh_ref[0, k, 6]))
-        def _(k=k):
-            vx = veh_ref[0, k, 0]
-            vy = veh_ref[0, k, 1]
-            vc = veh_ref[0, k, 2]
-            vs = veh_ref[0, k, 3]
-            valid = veh_ref[0, k, 4]
-            rx = wx - vx
-            ry = wy - vy
-            along = rx * vc + ry * vs
-            lat = -rx * vs + ry * vc
-            inside = (jnp.abs(along) <= ex) & (jnp.abs(lat) <= ey)
-            out_ref[0, 5] = jnp.maximum(
-                out_ref[0, 5], inside.astype(jnp.float32) * valid)
+        vx = veh_ref[0, k, 0]
+        vy = veh_ref[0, k, 1]
+        vc = veh_ref[0, k, 2]
+        vs = veh_ref[0, k, 3]
+        valid = veh_ref[0, k, 4]
+        rx = wx - vx
+        ry = wy - vy
+        along = rx * vc + ry * vs
+        lat = -rx * vs + ry * vc
+        inside = (jnp.abs(along) <= ex) & (jnp.abs(lat) <= ey)
+        vehicle = jnp.maximum(vehicle,
+                              inside.astype(jnp.float32) * valid)
 
+    walker = zero
     we = WALKER_EXTENT + RASTER_COVERAGE
     for k in range(K_WALKERS):
-        @pl.when((tile_f >= walk_ref[0, k, 5])
-                 & (tile_f <= walk_ref[0, k, 6]))
-        def _(k=k):
-            pxw = walk_ref[0, k, 0]
-            pyw = walk_ref[0, k, 1]
-            valid = walk_ref[0, k, 2]
-            inside = (jnp.abs(wx - pxw) <= we) & (jnp.abs(wy - pyw) <= we)
-            out_ref[0, 6] = jnp.maximum(
-                out_ref[0, 6], inside.astype(jnp.float32) * valid)
+        pxw = walk_ref[0, k, 0]
+        pyw = walk_ref[0, k, 1]
+        valid = walk_ref[0, k, 2]
+        inside = (jnp.abs(wx - pxw) <= we) & (jnp.abs(wy - pyw) <= we)
+        walker = jnp.maximum(walker, inside.astype(jnp.float32) * valid)
 
+    red = zero
+    yellow = zero
+    green = zero
     r2 = LIGHT_DRAW_RADIUS_M * LIGHT_DRAW_RADIUS_M
     for k in range(K_LIGHTS):
-        @pl.when((tile_f >= light_ref[0, k, 5])
-                 & (tile_f <= light_ref[0, k, 6]))
-        def _(k=k):
-            lx = light_ref[0, k, 0]
-            ly = light_ref[0, k, 1]
-            st = light_ref[0, k, 2]
-            valid = light_ref[0, k, 3]
-            dx = wx - lx
-            dy = wy - ly
-            hit = ((dx * dx + dy * dy) <= r2).astype(jnp.float32) * valid
-            # state: 0=green->ch4, 1=yellow->ch3, 2=red->ch2
-            out_ref[0, 2] = jnp.maximum(out_ref[0, 2],
-                                        hit * (st == 2.0))
-            out_ref[0, 3] = jnp.maximum(out_ref[0, 3],
-                                        hit * (st == 1.0))
-            out_ref[0, 4] = jnp.maximum(out_ref[0, 4],
-                                        hit * (st == 0.0))
+        lx = light_ref[0, k, 0]
+        ly = light_ref[0, k, 1]
+        st = light_ref[0, k, 2]
+        valid = light_ref[0, k, 3]
+        dx = wx - lx
+        dy = wy - ly
+        hit = ((dx * dx + dy * dy) <= r2).astype(jnp.float32) * valid
+        red = jnp.maximum(red, hit * (st == 2.0))
+        yellow = jnp.maximum(yellow, hit * (st == 1.0))
+        green = jnp.maximum(green, hit * (st == 0.0))
+
+    out_ref[0, 0] = road
+    out_ref[0, 1] = lane
+    out_ref[0, 2] = red
+    out_ref[0, 3] = yellow
+    out_ref[0, 4] = green
+    out_ref[0, 5] = vehicle
+    out_ref[0, 6] = walker
+    out_ref[0, 7] = zero
 
 
 def _pack_params(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw, npc_active,
                  walker_pos, walker_active, light_state):
     """XLA-side per-env selection + packing into small VMEM tables."""
     fwd = jnp.stack([jnp.cos(ego_yaw), jnp.sin(ego_yaw)])
-    lat = jnp.stack([-fwd[1], fwd[0]])
     ego = jnp.zeros((1, 8), jnp.float32).at[0, 0].set(ego_pos[0]) \
         .at[0, 1].set(ego_pos[1]).at[0, 2].set(fwd[0]) \
         .at[0, 3].set(fwd[1])
-
-    def tile_span(pos, radius_m, valid):
-        """Row-tile interval an actor's bounding disk can touch; empty
-        when invalid or laterally outside the window."""
-        rel = pos - ego_pos
-        fwd_m = rel @ fwd
-        lat_m = rel @ lat
-        row = EGO_WINDOW_ROW - fwd_m * PIXELS_PER_METER_RENDER
-        col = EGO_WINDOW_COL + lat_m * PIXELS_PER_METER_RENDER
-        r_px = radius_m * PIXELS_PER_METER_RENDER + 1.0
-        lo = jnp.floor((row - r_px) / TILE_ROWS)
-        hi = jnp.floor((row + r_px) / TILE_ROWS)
-        off = (col < -r_px) | (col > MAP_SIZE + r_px) | ~valid
-        lo = jnp.where(off, 1e9, jnp.clip(lo, 0, N_TILES - 1))
-        hi = jnp.where(off, -1e9, jnp.clip(hi, 0, N_TILES - 1))
-        return lo, hi
 
     center = ego_pos + 20.0 * fwd
     caps_sel, dash_sel = select_capsules(
@@ -182,9 +151,6 @@ def _pack_params(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw, npc_active,
     caps = caps.at[:, 5].set(dash_sel[:, 4])
     caps = caps.at[:, 6].set(dash_sel[:, 5])
 
-    import numpy as _np
-    veh_radius = float(_np.hypot(EGO_EXTENT_X, EGO_EXTENT_Y)) + 0.3
-
     vi, vv = _select_nearest(npc_pos, npc_active, ego_pos, K_VEHICLES)
     kv = vi.shape[0]            # may be < K_VEHICLES when few actors exist
     veh = jnp.zeros((K_VEHICLES, 8), jnp.float32)
@@ -192,20 +158,12 @@ def _pack_params(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw, npc_active,
     veh = veh.at[:kv, 2].set(jnp.cos(npc_yaw[vi]))
     veh = veh.at[:kv, 3].set(jnp.sin(npc_yaw[vi]))
     veh = veh.at[:kv, 4].set(vv.astype(jnp.float32))
-    vlo, vhi = jax.vmap(tile_span, in_axes=(0, None, 0))(
-        npc_pos[vi], veh_radius, vv)
-    veh = veh.at[:kv, 5].set(vlo).at[:kv, 6].set(vhi)
-    veh = veh.at[kv:, 5].set(1e9).at[kv:, 6].set(-1e9)
 
     wi, wv = _select_nearest(walker_pos, walker_active, ego_pos, K_WALKERS)
     kw = wi.shape[0]
     walk = jnp.zeros((K_WALKERS, 8), jnp.float32)
     walk = walk.at[:kw, 0:2].set(walker_pos[wi])
     walk = walk.at[:kw, 2].set(wv.astype(jnp.float32))
-    wlo, whi = jax.vmap(tile_span, in_axes=(0, None, 0))(
-        walker_pos[wi], WALKER_EXTENT * 1.7, wv)
-    walk = walk.at[:kw, 5].set(wlo).at[:kw, 6].set(whi)
-    walk = walk.at[kw:, 5].set(1e9).at[kw:, 6].set(-1e9)
 
     light_pos = map_data.light_pole_pos
     li, lv = _select_nearest(light_pos,
@@ -216,10 +174,6 @@ def _pack_params(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw, npc_active,
     lig = lig.at[:kl, 0:2].set(light_pos[li])
     lig = lig.at[:kl, 2].set(light_state[li].astype(jnp.float32))
     lig = lig.at[:kl, 3].set(lv.astype(jnp.float32))
-    llo, lhi = jax.vmap(tile_span, in_axes=(0, None, 0))(
-        light_pos[li], LIGHT_DRAW_RADIUS_M, lv)
-    lig = lig.at[:kl, 5].set(llo).at[:kl, 6].set(lhi)
-    lig = lig.at[kl:, 5].set(1e9).at[kl:, 6].set(-1e9)
     return ego, caps, veh, walk, lig
 
 

@@ -39,11 +39,33 @@ def main():
 
     # ---- 1. collect -----------------------------------------------------
     if not args.skip_collect:
+        import numpy as np
         from lbc_tpu.data import collect_episodes
+        from lbc_tpu.maps import get_roadnet
+
+        # pose pairs whose routes finish inside the frame budget
+        net = get_roadnet('Town01')
+        rng = np.random.RandomState(7)
+        pairs = []
+        n_spawn = len(net.spawn_pos)
+        while len(pairs) < 40:
+            i, j = rng.randint(0, n_spawn, 2)
+            if i == j:
+                continue
+            try:
+                pts, _ = net.plan_route(net.spawn_pos[i],
+                                        net.spawn_pos[j],
+                                        start_yaw=net.spawn_yaw[i])
+            except ValueError:
+                continue
+            L = np.hypot(*np.diff(pts, axis=0).T).sum()
+            if 80 < L < args.frames * 0.1 * 3.0:   # finish at >= 3 m/s avg
+                pairs.append((i, j))
+
         t0 = time.time()
         n = collect_episodes(data_dir, n_episodes=args.episodes,
                              frames_per_episode=args.frames, seed=0,
-                             batch_size=8)
+                             batch_size=8, pose_pairs=pairs)
         print(f'[collect] {n} episodes in {time.time() - t0:.0f}s',
               flush=True)
 
