@@ -113,10 +113,16 @@ class FrameDataset:
 
         packed = np.asarray(ep.birdview_packed[i])
         if delta_deg != 0:
-            import cv2
-            mrot = cv2.getRotationMatrix2D((160, 260), delta_deg, 1.0)
-            packed = cv2.warpAffine(packed, mrot, packed.shape[1::-1],
-                                    flags=cv2.INTER_NEAREST)
+            from ..native import rotate_nearest_native
+            rotated = rotate_nearest_native(packed, 160.0, 260.0,
+                                            float(delta_deg))
+            if rotated is None:
+                import cv2
+                mrot = cv2.getRotationMatrix2D((160, 260), delta_deg, 1.0)
+                rotated = cv2.warpAffine(packed, mrot,
+                                         packed.shape[1::-1],
+                                         flags=cv2.INTER_NEAREST)
+            packed = rotated
         cy, cx = 260 - CROP_SIZE // 2, 160
         crop = packed[dy + cy - CROP_SIZE // 2: dy + cy + CROP_SIZE // 2,
                       dx + cx - CROP_SIZE // 2: dx + cx + CROP_SIZE // 2]

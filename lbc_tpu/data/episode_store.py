@@ -28,6 +28,10 @@ from ..constants import N_BEV_CHANNELS
 
 def pack_birdview(bv: np.ndarray) -> np.ndarray:
     """(..., 320, 320, 7) {0,1} -> (..., 320, 320) uint8 bitfield."""
+    from ..native import pack_birdview_native
+    out = pack_birdview_native(np.asarray(bv, np.float32))
+    if out is not None:
+        return out
     bv = (np.asarray(bv) > 0).astype(np.uint8)
     out = np.zeros(bv.shape[:-1], np.uint8)
     for c in range(N_BEV_CHANNELS):
@@ -37,6 +41,11 @@ def pack_birdview(bv: np.ndarray) -> np.ndarray:
 
 def unpack_birdview(packed: np.ndarray, dtype=np.float32) -> np.ndarray:
     """(..., 320, 320) uint8 -> (..., 320, 320, 7) {0,1}."""
+    if dtype == np.float32:
+        from ..native import unpack_birdview_native
+        out = unpack_birdview_native(np.asarray(packed))
+        if out is not None:
+            return out
     packed = np.asarray(packed)
     chans = [(packed >> c) & 1 for c in range(N_BEV_CHANNELS)]
     return np.stack(chans, axis=-1).astype(dtype)
