@@ -191,12 +191,32 @@ class BatchSampler:
         return int(self.rng.randint(len(self.ds)))
 
     def __iter__(self):
+        """Batches are assembled by a small thread pool (the native/cv2
+        decode kernels release the GIL) and prefetched one step ahead —
+        the stand-in for the reference's DataLoader worker processes
+        (birdview_lmdb.py:246-249)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         get = (self.ds.get_image_sample if self.image
                else self.ds.get_birdview_sample)
-        for _ in range(self.samples):
-            items = [get(self._draw_index(), self.rng)
-                     for _ in range(self.batch_size)]
-            batch = {k: np.stack([it[k] for it in items]).astype(
+
+        def make_batch(seed):
+            rng = np.random.RandomState(seed)
+            items = []
+            for _ in range(self.batch_size):
+                if self.cmd_biased:
+                    c = rng.choice([1, 2, 3, 4], p=self.ratios)
+                    pool = self.cmd_pools[c]
+                    idx = int(pool[rng.randint(len(pool))])
+                else:
+                    idx = int(rng.randint(len(self.ds)))
+                items.append(get(idx, rng))
+            return {k: np.stack([it[k] for it in items]).astype(
                 np.float32 if k != 'command' else np.int32)
                 for k in items[0]}
-            yield batch
+
+        seeds = self.rng.randint(0, 2 ** 31 - 1, size=self.samples)
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [pool.submit(make_batch, int(s)) for s in seeds]
+            for f in futures:
+                yield f.result()
