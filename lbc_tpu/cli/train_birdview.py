@@ -96,6 +96,9 @@ def train(config):
             else config['samples_per_epoch'],
             seed=config.get('seed', 0) * 1000 + epoch,
             cmd_biased=config['data_args'].get('cmd_biased', False))
+        # losses stay on device until epoch end: a float() per step would
+        # serialize the pipeline on a host<->device sync each batch
+        train_losses = []
         for np_batch in sampler:
             batch = shard_batch(mesh, {
                 'birdview': np_batch['birdview'],
@@ -104,19 +107,24 @@ def train(config):
                 'speed': np_batch['speed']})
             if dry_run:
                 out = eval_step(state, batch)
-                log.scalar(is_train=True, loss=float(out['loss']))
+                train_losses.append(out['loss'])
             else:
                 state, metrics = train_step(state, batch)
-                log.scalar(is_train=True, loss=float(metrics['loss']))
+                train_losses.append(metrics['loss'])
+        for lo in train_losses:
+            log.scalar(is_train=True, loss=float(lo))
 
         val_sampler = BatchSampler(val_ds, batch_size, samples=10,
                                    seed=777)
         last = None
+        val_losses = []
         for np_batch in val_sampler:
             batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
             out = eval_step(state, batch)
-            log.scalar(is_train=False, loss=float(out['loss']))
+            val_losses.append(out['loss'])
             last = (np_batch, out['pred'])
+        for lo in val_losses:
+            log.scalar(is_train=False, loss=float(lo))
         if last is not None:
             log.image(is_train=False,
                       birdview=visualize_batch(last[0], last[1]))

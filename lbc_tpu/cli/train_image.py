@@ -73,6 +73,7 @@ def train(config):
     key = jax.random.PRNGKey(config.get('seed', 0) + 99)
     images_seen = 0
     for epoch in range(config['max_epoch'] + 1):
+        losses = []
         sampler = BatchSampler(ds, config['batch_size'],
                                samples=config['samples_per_epoch'],
                                seed=epoch, image=True)
@@ -89,7 +90,9 @@ def train(config):
             else:
                 key, k2 = jax.random.split(key)
                 state, m = step(state, batch, k2)
-            log.scalar(is_train=True, loss=float(m['loss']))
+            losses.append(m['loss'])   # device-side until epoch end
+        for lo in losses:
+            log.scalar(is_train=True, loss=float(lo))
         stats = log.end_epoch()
         print(f"epoch {epoch}: loss "
               f"{stats.get(('train', 'loss'), {}).get('mean', -1):.4f}")
