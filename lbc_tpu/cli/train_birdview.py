@@ -33,7 +33,11 @@ from ..utils.visualize import visualize_birdview
 def visualize_batch(batch, pred):
     """Pred (teal) vs gt (white) dots on the BEV crop
     (train_birdview.py:57-99)."""
-    bv = np.asarray(batch['birdview'][0])
+    if 'birdview' in batch:
+        bv = np.asarray(batch['birdview'][0])
+    else:
+        from ..data.episode_store import unpack_birdview
+        bv = unpack_birdview(np.asarray(batch['birdview_packed'][0]))
     canvas = visualize_birdview(bv).copy()
     for (x, y) in np.asarray(batch['location_px'][0]):
         xi, yi = int(np.clip(x, 0, 191)), int(np.clip(y, 0, 191))
@@ -95,13 +99,14 @@ def train(config):
             ds, batch_size, samples=10 if dry_run
             else config['samples_per_epoch'],
             seed=config.get('seed', 0) * 1000 + epoch,
-            cmd_biased=config['data_args'].get('cmd_biased', False))
+            cmd_biased=config['data_args'].get('cmd_biased', False),
+            packed=True)
         # losses stay on device until epoch end: a float() per step would
         # serialize the pipeline on a host<->device sync each batch
         train_losses = []
         for np_batch in sampler:
             batch = shard_batch(mesh, {
-                'birdview': np_batch['birdview'],
+                'birdview_packed': np_batch['birdview_packed'],
                 'location_px': np_batch['location_px'],
                 'command': np_batch['command'],
                 'speed': np_batch['speed']})
@@ -115,7 +120,7 @@ def train(config):
             log.scalar(is_train=True, loss=float(lo))
 
         val_sampler = BatchSampler(val_ds, batch_size, samples=10,
-                                   seed=777)
+                                   seed=777, packed=True)
         last = None
         val_losses = []
         for np_batch in val_sampler:

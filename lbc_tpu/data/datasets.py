@@ -93,9 +93,13 @@ class FrameDataset:
             locs[k - 1] = (px, py)
         return locs
 
-    def get_birdview_sample(self, idx, rng: np.random.RandomState):
-        """-> dict(birdview (192,192,7) f32, location_px (5,2), command,
-        speed). Jitters per birdview_lmdb.py:103-125."""
+    def get_birdview_sample(self, idx, rng: np.random.RandomState,
+                            packed_output: bool = False):
+        """-> dict(birdview (192,192,7) f32 — or birdview_packed
+        (192,192) uint8 when `packed_output` (28x less host->device
+        traffic; unpack on device with unpack_birdview_jnp) —
+        location_px (5,2), command, speed).
+        Jitters per birdview_lmdb.py:103-125."""
         cfg = self.config
         e, i = self.index[idx]
         ep = self.episodes[e]
@@ -126,12 +130,15 @@ class FrameDataset:
         cy, cx = 260 - CROP_SIZE // 2, 160
         crop = packed[dy + cy - CROP_SIZE // 2: dy + cy + CROP_SIZE // 2,
                       dx + cx - CROP_SIZE // 2: dx + cx + CROP_SIZE // 2]
-        bv = unpack_birdview(crop)
 
         angle = np.arctan2(ori_oy, ori_ox) + np.deg2rad(delta_deg)
         locs = self._labels(ep, i, np.cos(angle), np.sin(angle), dx, dy)
-        return {'birdview': bv, 'location_px': locs,
-                'command': cmd, 'speed': speed}
+        out = {'location_px': locs, 'command': cmd, 'speed': speed}
+        if packed_output:
+            out['birdview_packed'] = np.ascontiguousarray(crop)
+        else:
+            out['birdview'] = unpack_birdview(crop)
+        return out
 
     def get_image_sample(self, idx, rng: np.random.RandomState):
         """-> dict(rgb (160,384,3) f32 [0,1], birdview (192,192,7),
@@ -165,12 +172,14 @@ class BatchSampler:
 
     def __init__(self, dataset: FrameDataset, batch_size: int,
                  samples: int, seed: int = 0, cmd_biased: bool = False,
-                 ratios=(0.25, 0.25, 0.25), image: bool = False):
+                 ratios=(0.25, 0.25, 0.25), image: bool = False,
+                 packed: bool = False):
         self.ds = dataset
         self.batch_size = batch_size
         self.samples = samples
         self.rng = np.random.RandomState(seed)
         self.image = image
+        self.packed = packed
         self.cmd_biased = cmd_biased
         if cmd_biased:
             cmds = dataset.commands.copy()
@@ -197,8 +206,16 @@ class BatchSampler:
         (birdview_lmdb.py:246-249)."""
         from concurrent.futures import ThreadPoolExecutor
 
-        get = (self.ds.get_image_sample if self.image
-               else self.ds.get_birdview_sample)
+        if self.image:
+            get = self.ds.get_image_sample
+        elif self.packed:
+            def get(idx, rng):
+                return self.ds.get_birdview_sample(idx, rng,
+                                                   packed_output=True)
+        else:
+            get = self.ds.get_birdview_sample
+
+        _DTYPES = {'command': np.int32, 'birdview_packed': np.uint8}
 
         def make_batch(seed):
             rng = np.random.RandomState(seed)
@@ -212,8 +229,7 @@ class BatchSampler:
                     idx = int(rng.randint(len(self.ds)))
                 items.append(get(idx, rng))
             return {k: np.stack([it[k] for it in items]).astype(
-                np.float32 if k != 'command' else np.int32)
-                for k in items[0]}
+                _DTYPES.get(k, np.float32)) for k in items[0]}
 
         seeds = self.rng.randint(0, 2 ** 31 - 1, size=self.samples)
         with ThreadPoolExecutor(max_workers=4) as pool:

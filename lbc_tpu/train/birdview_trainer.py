@@ -39,16 +39,27 @@ def init_birdview_training(rng, model, lr=1e-4, batch_for_init=2):
     return state, tx
 
 
+def _batch_birdview(batch):
+    """Accepts either a float 'birdview' or a bit-packed uint8
+    'birdview_packed' (unpacked on device — the TPU-first input layout:
+    the host ships 28x fewer bytes)."""
+    if 'birdview' in batch:
+        return batch['birdview']
+    from ..data.episode_store import unpack_birdview_jnp
+    return unpack_birdview_jnp(batch['birdview_packed'])
+
+
 def birdview_train_step(state: TrainState, batch, model, tx):
-    """batch: dict(birdview (B,192,192,7) [0,1], location_px (B,5,2),
-    command (B,) int 1..4, speed (B,)). Pure; jit with sharded batch for
-    data parallelism."""
+    """batch: dict(birdview (B,192,192,7) [0,1] float or birdview_packed
+    (B,192,192) uint8, location_px (B,5,2), command (B,) int 1..4,
+    speed (B,)). Pure; jit with sharded batch for data parallelism."""
+    bv = _batch_birdview(batch)
 
     def loss_fn(params):
         variables = {'params': params, 'batch_stats': state.batch_stats}
         cmd = one_hot_command(batch['command'])
         pred, mutated = model.apply(
-            variables, batch['birdview'], batch['speed'], cmd,
+            variables, bv, batch['speed'], cmd,
             train=True, mutable=['batch_stats'])
         if isinstance(pred, tuple):
             pred = pred[0]
@@ -67,8 +78,8 @@ def birdview_train_step(state: TrainState, batch, model, tx):
 def birdview_eval_step(state: TrainState, batch, model):
     variables = {'params': state.params, 'batch_stats': state.batch_stats}
     cmd = one_hot_command(batch['command'])
-    pred = model.apply(variables, batch['birdview'], batch['speed'], cmd,
-                       train=False)
+    pred = model.apply(variables, _batch_birdview(batch), batch['speed'],
+                       cmd, train=False)
     if isinstance(pred, tuple):
         pred = pred[0]
     return {'loss': jnp.mean(location_loss(pred, batch['location_px'])),
