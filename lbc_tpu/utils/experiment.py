@@ -36,10 +36,17 @@ def save_config(log_dir, config: dict):
 
 
 def load_config(checkpoint_or_dir) -> dict:
-    """Config lookup keyed off a checkpoint path (saver.py:76-80)."""
+    """Config lookup keyed off a checkpoint path (saver.py:76-80): search
+    the given path, then its parents (orbax checkpoints are directories
+    sitting next to config.json)."""
     p = Path(checkpoint_or_dir)
-    d = p if p.is_dir() else p.parent
-    return json.loads((d / 'config.json').read_text())
+    candidates = [p if p.is_dir() else p.parent]
+    candidates += list(candidates[0].parents)[:2]
+    for d in candidates:
+        cfg = d / 'config.json'
+        if cfg.exists():
+            return json.loads(cfg.read_text())
+    raise FileNotFoundError(f'no config.json near {checkpoint_or_dir}')
 
 
 class Experiment:
