@@ -45,14 +45,27 @@ def obb_overlap(pos_a, yaw_a, ex_a, ey_a, pos_b, yaw_b, ex_b, ey_b):
     return ~sep
 
 
+# The reference collision sensor only latches when the impulse exceeds
+# 400 N*s (carla_utils.py:702-714) — a pedestrian brushing a stopped car
+# never registers. The analytic analog gates overlaps on relative motion.
+MIN_VEHICLE_IMPACT_SPEED = 1.0   # m/s combined ego+other speed
+MIN_WALKER_IMPACT_SPEED = 0.8    # m/s ego speed (walker mass is small)
+MIN_STATIC_IMPACT_SPEED = 0.25
+
+
 def ego_vehicle_collision(ego_pos, ego_yaw, veh_pos, veh_yaw, veh_active,
+                          ego_speed=None, veh_speed=None,
                           veh_ex=EGO_EXTENT_X, veh_ey=EGO_EXTENT_Y):
     hit = obb_overlap(ego_pos, ego_yaw, EGO_EXTENT_X, EGO_EXTENT_Y,
                       veh_pos, veh_yaw, veh_ex, veh_ey)
+    if ego_speed is not None:
+        impact = (ego_speed + veh_speed) > MIN_VEHICLE_IMPACT_SPEED
+        hit = hit & impact
     return jnp.any(hit & veh_active)
 
 
-def ego_walker_collision(ego_pos, ego_yaw, walker_pos, walker_active):
+def ego_walker_collision(ego_pos, ego_yaw, walker_pos, walker_active,
+                         ego_speed=None):
     """Walker centers tested against the ego OBB expanded by the walker
     half-extent (circle-vs-box approximated by box-vs-point)."""
     rel = walker_pos - ego_pos
@@ -61,7 +74,10 @@ def ego_walker_collision(ego_pos, ego_yaw, walker_pos, walker_active):
     lateral = -rel[..., 0] * s + rel[..., 1] * c
     inside = (jnp.abs(along) < EGO_EXTENT_X + WALKER_EXTENT) \
         & (jnp.abs(lateral) < EGO_EXTENT_Y + WALKER_EXTENT)
-    return jnp.any(inside & walker_active)
+    any_hit = jnp.any(inside & walker_active)
+    if ego_speed is not None:
+        any_hit = any_hit & (ego_speed > MIN_WALKER_IMPACT_SPEED)
+    return any_hit
 
 
 def _sample_raster(raster, world_offset, points):
@@ -72,13 +88,17 @@ def _sample_raster(raster, world_offset, points):
     return raster[cy, cx]
 
 
-def ego_static_collision(ego_pos, ego_yaw, walkable_raster, world_offset):
+def ego_static_collision(ego_pos, ego_yaw, walkable_raster, world_offset,
+                         ego_speed=None):
     """Hit a building/fence: any ego corner outside the walkable band
     (road + sidewalks). CARLA's collision sensor fires on static props;
     the walkable band plays the role of free space."""
     corners = obb_corners(ego_pos, ego_yaw, EGO_EXTENT_X, EGO_EXTENT_Y)
     vals = _sample_raster(walkable_raster, world_offset, corners)
-    return jnp.any(vals == 0)
+    hit = jnp.any(vals == 0)
+    if ego_speed is not None:
+        hit = hit & (ego_speed > MIN_STATIC_IMPACT_SPEED)
+    return hit
 
 
 def ego_lane_invasion(ego_pos, ego_yaw, lane_raster, world_offset):

@@ -188,15 +188,19 @@ class DrivingEnv:
             state.npc, m, pos, yaw, state.walkers.pos, state.walkers.active,
             lstate, jnp.sum(ep.rng) + tick.astype(jnp.uint32),
             self.dynamics)
-        walkers = walker_step(state.walkers, m, pos, k_walk)
+        walkers = walker_step(state.walkers, m, pos, k_walk,
+                              vehicle_pos=npc.pos,
+                              vehicle_active=npc.active)
 
-        # --- collisions (carla_utils.py:680-714 analog) ---
+        # --- collisions (carla_utils.py:680-714 analog, incl. the impulse
+        #     threshold as relative-motion gating) ---
         col_veh = ego_vehicle_collision(pos, yaw, npc.pos, npc.yaw,
-                                        npc.active)
+                                        npc.active, ego_speed=speed,
+                                        veh_speed=npc.speed)
         col_walk = ego_walker_collision(pos, yaw, walkers.pos,
-                                        walkers.active)
+                                        walkers.active, ego_speed=speed)
         col_static = ego_static_collision(pos, yaw, m.walkable_raster,
-                                          m.world_offset)
+                                          m.world_offset, ego_speed=speed)
         collided = ep.collided | col_veh | col_walk | col_static
         invaded = ep.invaded | ego_lane_invasion(pos, yaw, m.lane_raster,
                                                  m.world_offset)

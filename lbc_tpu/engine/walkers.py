@@ -38,7 +38,8 @@ def _sample_targets(key, cur_pos, walker_spawn):
     return jnp.where(any_ok[:, None], pick, cand[:, 0]), k2
 
 
-def walker_step(walkers: WalkerState, map_data, ego_pos, key) -> WalkerState:
+def walker_step(walkers: WalkerState, map_data, ego_pos, key,
+                vehicle_pos=None, vehicle_active=None) -> WalkerState:
     """One tick for all walkers of one env."""
     pos, target = walkers.pos, walkers.target
 
@@ -56,6 +57,17 @@ def walker_step(walkers: WalkerState, map_data, ego_pos, key) -> WalkerState:
     cy = jnp.clip(px[:, 1].astype(jnp.int32), 0, h - 1)
     ok = map_data.walkable_raster[cy, cx] > 0
     new_pos = jnp.where(ok[:, None], new_pos, pos)
+
+    # navmesh-agent-like yield: a walker whose next step lands within ~3 m
+    # of a vehicle stops instead of walking into it (CARLA's crowd agents
+    # block on obstacles; reference walkers rarely body-slam cars)
+    if vehicle_pos is not None:
+        vp = jnp.concatenate([vehicle_pos, ego_pos[None]], axis=0)
+        va = jnp.concatenate([vehicle_active, jnp.ones((1,), bool)])
+        d2 = jnp.sum((new_pos[:, None, :] - vp[None, :, :]) ** 2, axis=-1)
+        d2 = jnp.where(va[None, :], d2, jnp.inf)
+        blocked = jnp.min(d2, axis=1) < 3.0 ** 2
+        new_pos = jnp.where(blocked[:, None], pos, new_pos)
 
     moved = jnp.linalg.norm(new_pos - pos, axis=-1) / DT
     stuck_ticks = jnp.where(moved < SPEED_THRESHOLD,
