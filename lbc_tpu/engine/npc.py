@@ -74,12 +74,19 @@ def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
     all_yaw = jnp.concatenate([yaw, ego_yaw[None]], axis=0)
     all_active = jnp.concatenate(
         [npc.active, jnp.ones((1,), bool)], axis=0)
+    all_speed = jnp.concatenate([speed, jnp.ones((1,)) * 10.0], axis=0)
+    all_stopped = all_speed < 0.3
 
-    def hazards_one(p, y, my_idx):
+    def hazards_one(p, y, my_idx, my_in_junction):
         others = all_active & (jnp.arange(all_pos.shape[0]) != my_idx)
         same_dir = yaw_difference_deg(y, all_yaw) <= 150.0
         ahead = within_distance_ahead(all_pos, p, y, 9.5, 45.0)
-        veh = jnp.any(same_dir & ahead & others)
+        # deadlock breaker: inside a junction, push past *stopped* cross
+        # traffic (CARLA's crowd controller arbitrates junction entry; a
+        # mutual-stop cycle would otherwise gridlock dense suites forever)
+        blocking = jnp.where(my_in_junction, ~all_stopped,
+                             jnp.ones_like(all_stopped))
+        veh = jnp.any(same_dir & ahead & others & blocking)
         light = red_light_hazard(p, y, light_state,
                                  map_data.light_stop_pos,
                                  map_data.light_stop_yaw)
@@ -87,7 +94,8 @@ def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
                             map_data.road_raster, map_data.world_offset)
         return veh | light | wlk
 
-    hazard = jax.vmap(hazards_one)(pos, yaw, jnp.arange(pos.shape[0]))
+    hazard = jax.vmap(hazards_one)(pos, yaw, jnp.arange(pos.shape[0]),
+                                   in_junction)
 
     throttle = jnp.clip(NPC_THROTTLE_KP * (target_speed - speed), 0.0, 1.0)
     throttle = jnp.where(hazard, 0.0, throttle)

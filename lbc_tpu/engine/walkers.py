@@ -23,19 +23,22 @@ TARGET_RADIUS = 25.0      # m: new goals sampled within this range
 
 
 def _sample_targets(key, cur_pos, walker_spawn):
-    """Pick a random spawn-table point within TARGET_RADIUS (fallback: any)."""
+    """Pick the *nearest* of 8 random spawn-table candidates. Nearby
+    sidewalk points are usually on the walker's own side of the road, so
+    most walkers patrol their sidewalk and only some cross — matching the
+    reference's occasionally-crossing navmesh crowds (README.md:105-114)
+    instead of everyone jaywalking."""
     n = walker_spawn.shape[0]
     k1, k2 = jax.random.split(key)
     cand_idx = jax.random.randint(k1, (cur_pos.shape[0], 8), 0, n)
     cand = walker_spawn[cand_idx]                    # (P, 8, 2)
     d = jnp.linalg.norm(cand - cur_pos[:, None, :], axis=-1)
-    ok = d < TARGET_RADIUS
-    # first acceptable candidate, else candidate 0
-    first = jnp.argmax(ok, axis=1)
-    pick = jnp.take_along_axis(cand, first[:, None, None].repeat(2, -1),
+    # too-close candidates would make walkers dither in place
+    d = jnp.where(d < 4.0, jnp.inf, d)
+    nearest = jnp.argmin(d, axis=1)
+    pick = jnp.take_along_axis(cand, nearest[:, None, None].repeat(2, -1),
                                axis=1)[:, 0]
-    any_ok = jnp.any(ok, axis=1)
-    return jnp.where(any_ok[:, None], pick, cand[:, 0]), k2
+    return pick, k2
 
 
 def walker_step(walkers: WalkerState, map_data, ego_pos, key,
