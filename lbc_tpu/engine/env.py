@@ -190,7 +190,8 @@ class DrivingEnv:
             self.dynamics)
         walkers = walker_step(state.walkers, m, pos, k_walk,
                               vehicle_pos=npc.pos,
-                              vehicle_active=npc.active)
+                              vehicle_active=npc.active,
+                              vehicle_speed=npc.speed, ego_speed=speed)
 
         # --- collisions (carla_utils.py:680-714 analog, incl. the impulse
         #     threshold as relative-motion gating) ---

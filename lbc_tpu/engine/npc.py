@@ -21,7 +21,11 @@ from .state import NPCVehicleState
 
 NPC_REACH = 2.0        # m: advance to the next lattice waypoint
 NPC_STEER_KP = 1.2
-NPC_THROTTLE_KP = 0.5
+NPC_THROTTLE_KP = 0.8
+# NPCs queue tighter and pull away harder than the reference's expert
+# predicate (9.5 m cone) — CARLA's server-side traffic keeps ~6 m headway,
+# and dense-suite junction throughput depends on it.
+NPC_PROXIMITY = 6.0
 
 
 def _hash01(a, b, c):
@@ -80,7 +84,7 @@ def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
     def hazards_one(p, y, my_idx, my_in_junction):
         others = all_active & (jnp.arange(all_pos.shape[0]) != my_idx)
         same_dir = yaw_difference_deg(y, all_yaw) <= 150.0
-        ahead = within_distance_ahead(all_pos, p, y, 9.5, 45.0)
+        ahead = within_distance_ahead(all_pos, p, y, NPC_PROXIMITY, 45.0)
         # deadlock breaker: inside a junction, push past *stopped* cross
         # traffic (CARLA's crowd controller arbitrates junction entry; a
         # mutual-stop cycle would otherwise gridlock dense suites forever)
@@ -89,9 +93,11 @@ def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
         veh = jnp.any(same_dir & ahead & others & blocking)
         light = red_light_hazard(p, y, light_state,
                                  map_data.light_stop_pos,
-                                 map_data.light_stop_yaw)
+                                 map_data.light_stop_yaw,
+                                 stop_distance=NPC_PROXIMITY)
         wlk = walker_hazard(p, y, walker_pos, walker_active,
-                            map_data.road_raster, map_data.world_offset)
+                            map_data.road_raster, map_data.world_offset,
+                            proximity=NPC_PROXIMITY)
         return veh | light | wlk
 
     hazard = jax.vmap(hazards_one)(pos, yaw, jnp.arange(pos.shape[0]),

@@ -42,7 +42,8 @@ def _sample_targets(key, cur_pos, walker_spawn):
 
 
 def walker_step(walkers: WalkerState, map_data, ego_pos, key,
-                vehicle_pos=None, vehicle_active=None) -> WalkerState:
+                vehicle_pos=None, vehicle_active=None,
+                vehicle_speed=None, ego_speed=None) -> WalkerState:
     """One tick for all walkers of one env."""
     pos, target = walkers.pos, walkers.target
 
@@ -62,11 +63,15 @@ def walker_step(walkers: WalkerState, map_data, ego_pos, key,
     new_pos = jnp.where(ok[:, None], new_pos, pos)
 
     # navmesh-agent-like yield: a walker whose next step lands within ~3 m
-    # of a vehicle stops instead of walking into it (CARLA's crowd agents
-    # block on obstacles; reference walkers rarely body-slam cars)
+    # of a *moving* vehicle stops instead of walking into it. Stopped
+    # vehicles are walked past — otherwise a walker frozen mid-crossing
+    # and the car stopped for it deadlock each other.
     if vehicle_pos is not None:
         vp = jnp.concatenate([vehicle_pos, ego_pos[None]], axis=0)
         va = jnp.concatenate([vehicle_active, jnp.ones((1,), bool)])
+        if vehicle_speed is not None:
+            vs = jnp.concatenate([vehicle_speed, ego_speed[None]])
+            va = va & (vs > 0.5)
         d2 = jnp.sum((new_pos[:, None, :] - vp[None, :, :]) ** 2, axis=-1)
         d2 = jnp.where(va[None, :], d2, jnp.inf)
         blocked = jnp.min(d2, axis=1) < 3.0 ** 2
