@@ -85,12 +85,13 @@ def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
         others = all_active & (jnp.arange(all_pos.shape[0]) != my_idx)
         same_dir = yaw_difference_deg(y, all_yaw) <= 150.0
         ahead = within_distance_ahead(all_pos, p, y, NPC_PROXIMITY, 45.0)
-        # deadlock breaker: inside a junction, push past *stopped* cross
-        # traffic (CARLA's crowd controller arbitrates junction entry; a
-        # mutual-stop cycle would otherwise gridlock dense suites forever)
-        blocking = jnp.where(my_in_junction, ~all_stopped,
-                             jnp.ones_like(all_stopped))
-        veh = jnp.any(same_dir & ahead & others & blocking)
+        # deadlock breaker: inside a junction, *stopped* cross traffic only
+        # blocks inside a tight corridor (imminent contact) instead of the
+        # full cone — a mutual-stop cycle would otherwise gridlock dense
+        # suites forever, but we must never drive through a stopped car.
+        imminent = within_distance_ahead(all_pos, p, y, 4.0, 60.0)
+        cone = jnp.where(my_in_junction & all_stopped, imminent, ahead)
+        veh = jnp.any(same_dir & cone & others)
         light = red_light_hazard(p, y, light_state,
                                  map_data.light_stop_pos,
                                  map_data.light_stop_yaw,
