@@ -23,9 +23,13 @@ NPC_REACH = 2.0        # m: advance to the next lattice waypoint
 NPC_STEER_KP = 1.2
 NPC_THROTTLE_KP = 0.8
 # NPCs queue tighter and pull away harder than the reference's expert
-# predicate (9.5 m cone) — CARLA's server-side traffic keeps ~6 m headway,
-# and dense-suite junction throughput depends on it.
-NPC_PROXIMITY = 6.0
+# predicate (9.5 m cone) — dense-suite junction throughput depends on it.
+# 7.5 m centers = ~2.8 m bumper gap (bboxes are 4.7 m long), enough to
+# brake from queue-creep speeds.
+NPC_PROXIMITY = 7.5
+# stopped cross traffic inside a junction blocks inside this radius;
+# must exceed the 4.7 m nose-to-tail contact distance
+NPC_IMMINENT = 5.8
 
 
 def _hash01(a, b, c):
@@ -89,7 +93,7 @@ def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
         # blocks inside a tight corridor (imminent contact) instead of the
         # full cone — a mutual-stop cycle would otherwise gridlock dense
         # suites forever, but we must never drive through a stopped car.
-        imminent = within_distance_ahead(all_pos, p, y, 4.0, 60.0)
+        imminent = within_distance_ahead(all_pos, p, y, NPC_IMMINENT, 60.0)
         cone = jnp.where(my_in_junction & all_stopped, imminent, ahead)
         veh = jnp.any(same_dir & cone & others)
         light = red_light_hazard(p, y, light_state,

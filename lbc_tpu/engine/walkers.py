@@ -62,19 +62,23 @@ def walker_step(walkers: WalkerState, map_data, ego_pos, key,
     ok = map_data.walkable_raster[cy, cx] > 0
     new_pos = jnp.where(ok[:, None], new_pos, pos)
 
-    # navmesh-agent-like yield: a walker whose next step lands within ~3 m
-    # of a *moving* vehicle stops instead of walking into it. Stopped
-    # vehicles are walked past — otherwise a walker frozen mid-crossing
-    # and the car stopped for it deadlock each other.
+    # navmesh-agent-like yield: a walker stops 3 m short of a *moving*
+    # vehicle and keeps 1.8 m personal space from stopped ones (close
+    # enough to finish most crossings — a residual mutual freeze resolves
+    # via the stuck-teleport rule below, mirroring the reference's
+    # PedestrianTracker escape hatch).
     if vehicle_pos is not None:
         vp = jnp.concatenate([vehicle_pos, ego_pos[None]], axis=0)
         va = jnp.concatenate([vehicle_active, jnp.ones((1,), bool)])
         if vehicle_speed is not None:
             vs = jnp.concatenate([vehicle_speed, ego_speed[None]])
-            va = va & (vs > 0.5)
+            moving = vs > 0.5
+        else:
+            moving = jnp.ones_like(va)
+        radius = jnp.where(moving, 3.0, 1.8)
         d2 = jnp.sum((new_pos[:, None, :] - vp[None, :, :]) ** 2, axis=-1)
-        d2 = jnp.where(va[None, :], d2, jnp.inf)
-        blocked = jnp.min(d2, axis=1) < 3.0 ** 2
+        blocked = jnp.any((d2 < radius[None, :] ** 2) & va[None, :],
+                          axis=1)
         new_pos = jnp.where(blocked[:, None], pos, new_pos)
 
     moved = jnp.linalg.norm(new_pos - pos, axis=-1) / DT
