@@ -181,7 +181,6 @@ def render_camera(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw, npc_active,
     vhit, vt, vshade = _ray_box_hit(
         origin, dirn, npc_pos[vi], npc_yaw[vi],
         EGO_EXTENT_X, EGO_EXTENT_Y, VEHICLE_HEIGHT)
-    vcol = _vehicle_color(vi) * vshade[..., None]
     vt = jnp.where(vhit & vvalid[None, None], vt, jnp.inf)
 
     wi, wvalid = select(walker_pos, walker_active, K_WALK)
@@ -205,23 +204,28 @@ def render_camera(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw, npc_active,
                                jnp.array([0.1, 0.9, 0.2])))
     lt = jnp.where(lhit & lvalid[None, None], lt, jnp.inf)
 
-    # composite nearest-hit per pixel across the three groups
-    def composite(color, depth, ts, cols):
-        best = jnp.argmin(ts, axis=-1)
-        tbest = jnp.take_along_axis(ts, best[..., None], axis=-1)[..., 0]
-        cbest = jnp.take_along_axis(
-            cols, best[..., None, None].repeat(3, -1), axis=-2)[..., 0, :]
+    # composite nearest-hit per pixel: argmin over K then gather the
+    # (K, 3) color table — never materialize an (H, W, K, 3) tensor
+    # (a naive broadcast here OOM'd HBM at eval batch sizes)
+    def composite(color, depth, ts, base_cols, shade=None):
+        best = jnp.argmin(ts, axis=-1)                      # (H, W)
+        tbest = jnp.min(ts, axis=-1)
+        cbest = base_cols[best]                             # (H, W, 3)
+        if shade is not None:
+            sbest = jnp.take_along_axis(shade, best[..., None],
+                                        axis=-1)[..., 0]
+            cbest = cbest * sbest[..., None]
         closer = tbest < depth
         return (jnp.where(closer[..., None], cbest, color),
                 jnp.where(closer, tbest, depth))
 
-    vcols = jnp.broadcast_to(vcol, vt.shape + (3,))
-    color, depth = composite(color, depth, vt, vcols)
-    wcols = jnp.broadcast_to(WALKER_COLOR * wshade[..., None],
-                             wt.shape + (3,))
-    color, depth = composite(color, depth, wt, wcols)
-    lcols = jnp.broadcast_to(lcol[None, None], lt.shape + (3,))
-    color, depth = composite(color, depth, lt, lcols)
+    color, depth = composite(color, depth, vt, _vehicle_color(vi),
+                             shade=vshade)
+    color, depth = composite(color, depth, wt,
+                             jnp.broadcast_to(WALKER_COLOR,
+                                              (wt.shape[-1], 3)),
+                             shade=wshade)
+    color, depth = composite(color, depth, lt, lcol)
 
     # --- weather: sun level, wet-dark, fog ---
     sun = WEATHER_SUN[wid]
