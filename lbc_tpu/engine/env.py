@@ -126,12 +126,16 @@ class DrivingEnv:
         ws = self.map_np.walker_spawn
         widx = rng.randint(0, len(ws), size=p)
         wpos = ws[widx].astype(np.float32)
-        wtgt_idx = rng.randint(0, len(ws), size=p)
+        # initial goal: a same-sidewalk neighbor of the spawn point (the
+        # precomputed stroll table), so nobody treks cross-town on reset
+        nbrs = self.map_np.walker_neighbors
+        wtgt_idx = nbrs[widx, rng.randint(0, nbrs.shape[1], size=p)]
         walkers = WalkerState(
             pos=jnp.asarray(wpos),
             yaw=jnp.zeros((p,), jnp.float32),
             speed=jnp.asarray(1.0 + rng.rand(p).astype(np.float32)),
             target=jnp.asarray(ws[wtgt_idx].astype(np.float32)),
+            target_idx=jnp.asarray(wtgt_idx.astype(np.int32)),
             stuck_ticks=jnp.zeros((p,), jnp.int32),
             active=jnp.asarray(np.arange(p) < cfg.n_pedestrians))
 

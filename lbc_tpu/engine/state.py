@@ -34,6 +34,7 @@ class WalkerState(NamedTuple):
     yaw: jnp.ndarray          # (P,)
     speed: jnp.ndarray        # (P,) commanded walking speed
     target: jnp.ndarray       # (P, 2) current goal
+    target_idx: jnp.ndarray   # (P,) int32 goal's walker_spawn table index
     stuck_ticks: jnp.ndarray  # (P,) int32
     active: jnp.ndarray       # (P,) bool
 

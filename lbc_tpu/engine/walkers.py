@@ -2,11 +2,12 @@
 
 Replaces CARLA's navmesh walker AI (carla_utils.py:424-476, controller.ai.
 walker) including the reference's stuck-detector + teleport rule
-(PedestrianTracker, carla_utils.py:176-225): walkers head straight to a
-sampled target on the walkable band (which includes road crossings — the
-reference uses a modified navmesh so pedestrians cross roads, README.md:
-105-114), pick a new target on arrival, and teleport to a spawn-table
-point >= 10 m from the hero when stuck for 20 ticks.
+(PedestrianTracker, carla_utils.py:176-225). Walkers stroll their own
+sidewalk piece (same connected component = no road crossing) and only
+occasionally pick a goal across the street — mirroring the reference's
+navmesh crowds, which mostly keep to sidewalks but do cross roads thanks
+to the authors' navmesh fix (README.md:105-114). Stuck walkers teleport
+to a spawn-table point >= 10 m from the hero after 20 slow ticks.
 """
 from __future__ import annotations
 
@@ -20,25 +21,24 @@ STUCK_LIMIT = 20          # ticks below speed threshold before teleport
 SPEED_THRESHOLD = 0.1     # m/s
 TARGET_REACH = 1.0        # m
 TARGET_RADIUS = 25.0      # m: new goals sampled within this range
+CROSS_PROB = 0.12         # chance a new goal may be across the road
 
 
-def _sample_targets(key, cur_pos, walker_spawn):
-    """Pick the *nearest* of 8 random spawn-table candidates. Nearby
-    sidewalk points are usually on the walker's own side of the road, so
-    most walkers patrol their sidewalk and only some cross — matching the
-    reference's occasionally-crossing navmesh crowds (README.md:105-114)
-    instead of everyone jaywalking."""
-    n = walker_spawn.shape[0]
-    k1, k2 = jax.random.split(key)
-    cand_idx = jax.random.randint(k1, (cur_pos.shape[0], 8), 0, n)
-    cand = walker_spawn[cand_idx]                    # (P, 8, 2)
-    d = jnp.linalg.norm(cand - cur_pos[:, None, :], axis=-1)
-    # too-close candidates would make walkers dither in place
-    d = jnp.where(d < 4.0, jnp.inf, d)
-    nearest = jnp.argmin(d, axis=1)
-    pick = jnp.take_along_axis(cand, nearest[:, None, None].repeat(2, -1),
-                               axis=1)[:, 0]
-    return pick, k2
+def _next_goal(key, target_idx, map_data, cross_prob=CROSS_PROB):
+    """New goal index via the precomputed neighbor tables: a same-sidewalk
+    stroll (walker_neighbors) or, with `cross_prob`, a deliberate road
+    crossing (walker_cross_neighbors). O(1) gathers, guaranteed local."""
+    p = target_idx.shape[0]
+    k1, k2, k3, k_out = jax.random.split(key, 4)
+    stroll_col = jax.random.randint(k1, (p,), 0,
+                                    map_data.walker_neighbors.shape[1])
+    cross_col = jax.random.randint(
+        k2, (p,), 0, map_data.walker_cross_neighbors.shape[1])
+    stroll = map_data.walker_neighbors[target_idx, stroll_col]
+    cross = map_data.walker_cross_neighbors[target_idx, cross_col]
+    do_cross = jax.random.uniform(k3, (p,)) < cross_prob
+    idx = jnp.where(do_cross, cross, stroll)
+    return idx, map_data.walker_spawn[idx], k_out
 
 
 def walker_step(walkers: WalkerState, map_data, ego_pos, key,
@@ -85,10 +85,12 @@ def walker_step(walkers: WalkerState, map_data, ego_pos, key,
     stuck_ticks = jnp.where(moved < SPEED_THRESHOLD,
                             walkers.stuck_ticks + 1, 0)
 
-    # new target on arrival
+    # new target on arrival (same sidewalk piece, occasional crossing)
     arrived = dist < TARGET_REACH
-    new_target, key = _sample_targets(key, new_pos, map_data.walker_spawn)
-    target = jnp.where(arrived[:, None], new_target, target)
+    goal_idx, goal_pos, key = _next_goal(key, walkers.target_idx,
+                                         map_data)
+    target = jnp.where(arrived[:, None], goal_pos, target)
+    target_idx = jnp.where(arrived, goal_idx, walkers.target_idx)
 
     # stuck -> teleport to a spawn point >= 10 m from the hero and the old
     # location (PedestrianTracker rule)
@@ -102,14 +104,15 @@ def walker_step(walkers: WalkerState, map_data, ego_pos, key,
                                    axis=-1) >= 10.0
     good = far_from_ego & far_from_old
     first = jnp.argmax(good, axis=1)
-    tp = jnp.take_along_axis(tp_cand, first[:, None, None].repeat(2, -1),
-                             axis=1)[:, 0]
+    tp_sel = jnp.take_along_axis(tp_idx, first[:, None], axis=1)[:, 0]
+    tp = map_data.walker_spawn[tp_sel]
     new_pos = jnp.where(stuck[:, None], tp, new_pos)
-    target = jnp.where(stuck[:, None], new_target, target)
+    target = jnp.where(stuck[:, None], tp, target)   # re-goal next arrival
+    target_idx = jnp.where(stuck, tp_sel, target_idx)
     stuck_ticks = jnp.where(stuck, 0, stuck_ticks)
 
     active = walkers.active
     new_pos = jnp.where(active[:, None], new_pos, pos)
     return WalkerState(pos=new_pos, yaw=yaw, speed=walkers.speed,
-                       target=target, stuck_ticks=stuck_ticks,
-                       active=active)
+                       target=target, target_idx=target_idx,
+                       stuck_ticks=stuck_ticks, active=active)

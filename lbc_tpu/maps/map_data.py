@@ -49,6 +49,11 @@ class MapData(NamedTuple):
     junction_n_phases: np.ndarray  # (J,) int32
     # walker navigation
     walker_spawn: np.ndarray      # (WS, 2) f32 points on the sidewalk band
+    walker_spawn_component: np.ndarray  # (WS,) int32 sidewalk-piece id —
+    # same id = reachable without crossing a road
+    walker_neighbors: np.ndarray  # (WS, 16) int32 same-piece points 4-25 m
+    walker_cross_neighbors: np.ndarray  # (WS, 8) int32 other-piece points
+    # 8-30 m away (deliberate road crossings); padded with self-index
     # analytic road geometry (gather-free rendering)
     road_capsules: np.ndarray     # (M, 5) f32 [x0,y0,x1,y1,half_width]
     lane_dashes: np.ndarray       # (M, 6) f32 [x0,y0,x1,y1,s0,seg_len]
@@ -110,13 +115,40 @@ def _nearest_grid(net: RoadNetwork, h_m: float, w_m: float):
 
 def _walker_spawn_points(road, walkable, world_offset, ppm, n=2048,
                          seed=0):
-    """Deterministic sample of sidewalk-band points (walkable minus road)."""
+    """Deterministic sample of sidewalk-band points (walkable minus road)
+    plus the connected sidewalk piece each point belongs to (same piece =
+    no road crossing needed)."""
+    from scipy import ndimage
     band = (walkable > 0) & (road == 0)
+    labels, _ = ndimage.label(band)
     ys, xs = np.nonzero(band)
     rng = np.random.RandomState(seed)
     idx = rng.choice(len(ys), size=min(n, len(ys)), replace=False)
+    comp = labels[ys[idx], xs[idx]].astype(np.int32)
     pts = np.stack([xs[idx], ys[idx]], axis=1).astype(np.float32) / ppm
-    return pts + np.asarray(world_offset, np.float32)
+    pts = pts + np.asarray(world_offset, np.float32)
+
+    # neighbor tables: same-piece strolls and cross-street hops, so target
+    # selection is an O(1) gather with guaranteed locality
+    from scipy.spatial import cKDTree
+    tree = cKDTree(pts)
+    m = len(pts)
+    nbrs = np.tile(np.arange(m, dtype=np.int32)[:, None], (1, 16))
+    cross = np.tile(np.arange(m, dtype=np.int32)[:, None], (1, 8))
+    pairs = tree.query_ball_point(pts, 25.0)
+    rng2 = np.random.RandomState(seed + 1)
+    for i, cand in enumerate(pairs):
+        cand = np.asarray(cand)
+        d = np.hypot(*(pts[cand] - pts[i]).T)
+        same = cand[(comp[cand] == comp[i]) & (d > 4.0)]
+        other = cand[(comp[cand] != comp[i]) & (d > 8.0)]
+        if len(same):
+            pick = rng2.choice(same, size=16, replace=len(same) < 16)
+            nbrs[i] = pick
+        if len(other):
+            pick = rng2.choice(other, size=8, replace=len(other) < 8)
+            cross[i] = pick
+    return pts, comp, nbrs, cross
 
 
 @lru_cache(maxsize=4)
@@ -128,6 +160,8 @@ def build_map_data(town: str) -> MapData:
     grid = _nearest_grid(net, h_m, w_m)
 
     wp_is_junction = net._seg_is_junction[net.wp_seg]
+    ws_pts, ws_comp, ws_nbrs, ws_cross = _walker_spawn_points(
+        road, walkable, net.world_offset, net.pixels_per_meter)
 
     return MapData(
         road_raster=road,
@@ -149,8 +183,10 @@ def build_map_data(town: str) -> MapData:
         light_junction=net.light_junction,
         light_phase=net.light_phase,
         junction_n_phases=net.junction_n_phases,
-        walker_spawn=_walker_spawn_points(
-            road, walkable, net.world_offset, net.pixels_per_meter),
+        walker_spawn=ws_pts,
+        walker_spawn_component=ws_comp,
+        walker_neighbors=ws_nbrs,
+        walker_cross_neighbors=ws_cross,
         road_capsules=net.road_capsules,
         lane_dashes=net.lane_dashes,
     )
