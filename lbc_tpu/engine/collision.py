@@ -49,7 +49,11 @@ def obb_overlap(pos_a, yaw_a, ex_a, ey_a, pos_b, yaw_b, ex_b, ey_b):
 # 400 N*s (carla_utils.py:702-714) — a pedestrian brushing a stopped car
 # never registers. The analytic analog gates overlaps on relative motion.
 MIN_VEHICLE_IMPACT_SPEED = 1.0   # m/s combined ego+other speed
-MIN_WALKER_IMPACT_SPEED = 0.8    # m/s ego speed (walker mass is small)
+# ~70 kg walker: impulse ~ 2*m*v needs v ≈ 400/(2*70) ≈ 2.9 m/s to reach
+# the 400 N*s threshold; 1.7 m/s is a conservative cut that still counts
+# genuine run-overs while ignoring pull-away brushes the reference's
+# sensor also ignores
+MIN_WALKER_IMPACT_SPEED = 1.7    # m/s ego speed
 MIN_STATIC_IMPACT_SPEED = 0.25
 
 
