@@ -30,6 +30,13 @@ def main():
     ap.add_argument('--vehicles', type=int, default=20)
     ap.add_argument('--walkers', type=int, default=50)
     ap.add_argument('--dtype', choices=['bf16', 'f32'], default='bf16')
+    ap.add_argument('--mesh', type=int, default=None,
+                    help='shard the env batch over N devices '
+                         '(shard_map over the "data" axis)')
+    ap.add_argument('--autoreset', action='store_true',
+                    help='continuous rollout: finished envs swap in '
+                         'fresh tasks from a device-resident bank '
+                         '(steady-state long-horizon throughput)')
     args = ap.parse_args()
 
     import jax
@@ -74,26 +81,61 @@ def main():
             lambda x: jnp.stack([x] * args.batch), privileged_init())
         batched_agent = True
 
-    rollout = make_rollout(env, agent_step, args.steps,
-                           batched_agent=batched_agent)
+    mesh = None
+    if args.mesh:
+        from lbc_tpu.parallel import make_mesh, shard_batch
+        assert args.batch % args.mesh == 0, 'batch must divide mesh size'
+        mesh = make_mesh(args.mesh)
+        batch = shard_batch(mesh, batch)
+        agent0 = shard_batch(mesh, agent0)
+
+    if args.autoreset:
+        from lbc_tpu.engine.autoreset import (build_reset_bank,
+                                              make_autoreset_rollout)
+        if args.agent == 'expert':
+            from lbc_tpu.agents import expert_init as _reset_init
+        else:
+            from lbc_tpu.agents.privileged import \
+                privileged_init as _reset_init
+        bank = build_reset_bank(
+            env, [(11 * s + 7, 11 * s + 60, 1) for s in range(n_proto)])
+        ptrs = jnp.arange(args.batch, dtype=jnp.int32) % n_proto
+        rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(args.batch))
+        if args.mesh:
+            from lbc_tpu.parallel import shard_batch as _sb
+            ptrs, rngs = _sb(mesh, ptrs), _sb(mesh, rngs)
+        rollout = make_autoreset_rollout(env, agent_step, args.steps,
+                                         bank, _reset_init(),
+                                         batched_agent=batched_agent,
+                                         mesh=mesh)
+        run_args = (batch, agent0, ptrs, rngs)
+    else:
+        rollout = make_rollout(env, agent_step, args.steps,
+                               batched_agent=batched_agent, mesh=mesh)
+        run_args = (batch, agent0)
 
     # compile + warm
     t0 = time.time()
-    out = rollout(batch, agent0)
+    out = rollout(*run_args)
     jax.block_until_ready(out[2])
     compile_s = time.time() - t0
 
     # timed run
     t0 = time.time()
-    out = rollout(batch, agent0)
+    out = rollout(*run_args)
     jax.block_until_ready(out[2])
     dt = time.time() - t0
+    if args.autoreset:
+        eps_done = int(jnp.sum(out[4]))
+        print(f'# autoreset: {eps_done} episodes completed in timed run',
+              file=sys.stderr)
 
     steps_per_sec = args.batch * args.steps / dt
     result = {
         'metric': 'env-steps/sec/chip (batched Town01, %s agent, '
-                  '%dv/%dp traffic)' % (args.agent, args.vehicles,
-                                        args.walkers),
+                  '%dv/%dp traffic%s)' % (
+                      args.agent, args.vehicles, args.walkers,
+                      f', {args.mesh}-device mesh' if args.mesh else ''),
         'value': round(steps_per_sec, 1),
         'unit': 'env-steps/sec',
         'vs_baseline': round(steps_per_sec / BASELINE_STEPS_PER_SEC, 1),

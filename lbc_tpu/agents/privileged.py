@@ -54,18 +54,20 @@ def make_privileged_agent_batched(model: BirdviewPolicy, variables):
     import jax
 
     from ..engine.lights import light_states
-    from ..ops import render_bev_pallas
+    from ..ops import render_bev_crop_pallas
 
     def step(map_data, env_states, obs, agent_states):
         lstate = jax.vmap(lambda t0, t: light_states(
             map_data.light_junction, map_data.light_phase,
             map_data.junction_n_phases, t0, t))(
                 env_states.episode.light_t0, env_states.episode.tick)
-        bev = render_bev_pallas(
+        # render only the 192x192 agent crop (bit-identical to
+        # crop_birdview(full_render, dx) — tests/test_pallas_bev.py)
+        crop = render_bev_crop_pallas(
             map_data, env_states.ego.pos, env_states.ego.yaw,
             env_states.npc.pos, env_states.npc.yaw, env_states.npc.active,
-            env_states.walkers.pos, env_states.walkers.active, lstate)
-        crop = crop_birdview(bev, dx=AGENT_CROP_DX)
+            env_states.walkers.pos, env_states.walkers.active, lstate,
+            dx=AGENT_CROP_DX)
         speed = obs['speed']
         command = obs['command']
         locations = model.apply(variables, crop, speed,

@@ -7,9 +7,10 @@ batched DrivingEnv instead of a CARLA client.
 """
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 from ..constants import WEATHER_1, WEATHER_2, WEATHER_3, WEATHER_4
 from ..engine import DrivingEnv, EnvConfig
@@ -29,12 +30,30 @@ class SuiteConfig:
     n_pedestrians: int = 0
     col_is_failure: bool = False
     respawn_peds: bool = True
-    disable_two_wheels: bool = False   # kept for config parity (cosmetic)
+    # Config-parity field only: the reference uses it to filter two-wheeled
+    # vehicle blueprints out of the CARLA spawn pool
+    # (carla_utils.py:394-422); this engine's NPC pool contains no
+    # two-wheelers at all (engine/npc.py uses one car bbox class), so the
+    # flag is ALWAYS effectively true and intentionally unconsumed.
+    disable_two_wheels: bool = False
+    # explicit pose list overriding poses_txt (set via .restricted())
+    poses_list: Optional[Tuple[Tuple[int, int], ...]] = None
 
     @property
     def poses(self) -> List[Tuple[int, int]]:
+        if self.poses_list is not None:
+            return [tuple(p) for p in self.poses_list]
         lines = (POSES / self.poses_txt).read_text().strip().splitlines()
         return [tuple(int(v) for v in ln.split()) for ln in lines]
+
+    def restricted(self, poses=None, weathers=None) -> 'SuiteConfig':
+        """Copy of this suite limited to a task subset (debug/tests)."""
+        kw = {}
+        if poses is not None:
+            kw['poses_list'] = tuple(tuple(p) for p in poses)
+        if weathers is not None:
+            kw['weathers'] = tuple(weathers)
+        return dataclasses.replace(self, **kw)
 
     def all_tasks(self):
         """(weather, (start, target), run_name) generator

@@ -48,13 +48,19 @@ def model_agent_factory(model_path: str):
 
     if name in ('birdview_dian', 'birdview'):
         from ..agents import make_privileged_agent, privileged_init
+        from ..agents.privileged import make_privileged_agent_batched
         from ..train.birdview_trainer import make_birdview_model
         model = make_birdview_model(backbone=backbone)
         template, _ = init_birdview_training(jax.random.PRNGKey(0), model)
         state = load_checkpoint(model_path, template)
         variables = {'params': state.params,
                      'batch_stats': state.batch_stats}
-        step_fn = make_privileged_agent(model, variables)
+        if jax.default_backend() == 'tpu':
+            # fused Pallas 192-crop render + full-batch conv net
+            step_fn = make_privileged_agent_batched(model, variables)
+            step_fn.batched = True
+        else:
+            step_fn = make_privileged_agent(model, variables)
         init_one = privileged_init
     elif name in ('image_ss', 'image'):
         from ..agents.image import image_agent_init, make_image_agent
@@ -86,6 +92,9 @@ def main():
     ap.add_argument('--batch-size', type=int, default=64)
     ap.add_argument('--max-ticks', type=int, default=None)
     ap.add_argument('--no-resume', action='store_true')
+    ap.add_argument('--videos', type=int, default=0,
+                    help='record BEV+HUD videos of the first N runs per '
+                         'suite (run_benchmark.py:236 analog)')
     args = ap.parse_args()
 
     assert args.autopilot or args.model_path, \
@@ -100,7 +109,8 @@ def main():
         df = run_benchmark(factory, suite, out, seed=args.seed,
                            resume=not args.no_resume,
                            batch_size=args.batch_size,
-                           max_ticks=args.max_ticks)
+                           max_ticks=args.max_ticks,
+                           n_videos=args.videos)
         print(f'{suite_name}: {100 * df["success"].mean():.1f}% '
               f'({int(df["success"].sum())}/{len(df)})')
 

@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data import (AugmentParams, BatchSampler, FrameDataset,
-                    SampleConfig, anneal, augment_batch)
+from ..data import (BatchSampler, FrameDataset, SampleConfig,
+                    augment_batch, schedule_params)
 from ..train import (SAVE_EPOCHS, init_birdview_training,
                      init_image_training, make_birdview_model,
                      make_image_model, phase0_train_step,
@@ -69,7 +69,7 @@ def train(config):
             s, b, model, tx, teacher_model, teacher_vars, k,
             speed_noise=config['speed_noise']))
 
-    aug = AugmentParams()
+    schedule = config.get('augment_schedule', 'super_hard')
     key = jax.random.PRNGKey(config.get('seed', 0) + 99)
     images_seen = 0
     for epoch in range(config['max_epoch'] + 1):
@@ -83,7 +83,8 @@ def train(config):
             if config.get('augment', True):
                 key, k1 = jax.random.split(key)
                 batch['rgb'] = augment_batch(
-                    k1, batch['rgb'], anneal(aug, images_seen))
+                    k1, batch['rgb'],
+                    schedule_params(schedule, images_seen))
             images_seen += batch['rgb'].shape[0]
             if phase == 0:
                 state, m = step(state, batch)
@@ -118,6 +119,9 @@ def main():
     ap.add_argument('--lr', type=float, default=1e-4)
     ap.add_argument('--speed-noise', type=float, default=0.0)
     ap.add_argument('--no-augment', action='store_true')
+    ap.add_argument('--augment', default='super_hard',
+                    help='augmenter schedule name '
+                         '(train_image_phase1.py:286 default)')
     ap.add_argument('--max_frames', type=int, default=None)
     ap.add_argument('--seed', type=int, default=0)
     args = ap.parse_args()
@@ -130,6 +134,7 @@ def main():
         'samples_per_epoch': args.samples_per_epoch,
         'speed_noise': args.speed_noise,
         'augment': not args.no_augment,
+        'augment_schedule': args.augment,
         'ckpt': args.ckpt,
         'seed': args.seed,
         'model_args': {'model': 'image_ss', 'backbone': args.backbone},

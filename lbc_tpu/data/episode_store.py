@@ -135,3 +135,18 @@ def convert_lmdb_episode(lmdb_path, out_path) -> Optional[Path]:
     return write_episode(out_path, birdview_packed=np.stack(bvp),
                          measurements=np.stack(meas),
                          control=np.stack(ctrl), rgb=np.stack(rgb))
+
+
+def convert_lmdb_dataset(src_dir, out_dir) -> int:
+    """Convert every reference LMDB episode under `src_dir` (the
+    data_collector.py on-disk layout: one LMDB directory per episode)
+    into native episodes under `out_dir`; returns #converted. After
+    this, FrameDataset trains directly on a reference-collected
+    dataset."""
+    src_dir, out_dir = Path(src_dir), Path(out_dir)
+    n = 0
+    for child in sorted(src_dir.iterdir()):
+        if child.is_dir() and (child / 'data.mdb').exists():
+            convert_lmdb_episode(child, out_dir / child.name)
+            n += 1
+    return n

