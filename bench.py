@@ -49,11 +49,20 @@ def main():
     env = DrivingEnv(EnvConfig(town=args.town, n_vehicles=args.vehicles,
                                n_pedestrians=args.walkers))
 
-    # Reset a handful of distinct tasks and tile them to the full batch
+    # Reset a spread of distinct tasks and tile them to the full batch
     # (route planning is host-side; tiling keeps bench startup fast).
-    n_proto = min(args.batch, 8)
-    protos = [env.reset_np(seed=s, start=11 * s + 7, target=11 * s + 60)
-              for s in range(n_proto)]
+    n_proto = min(args.batch, 32)
+    protos, proto_tasks = [], []
+    for s in range(n_proto):
+        pair = ((11 * s + 7) % 120, (11 * s + 60) % 120 + 60)
+        try:
+            protos.append(env.reset_np(seed=s, start=pair[0],
+                                       target=pair[1]))
+        except ValueError:      # unroutable pair: fall back to a known one
+            pair = (11 * (s % 8) + 7, 11 * (s % 8) + 60)
+            protos.append(env.reset_np(seed=s, start=pair[0],
+                                       target=pair[1]))
+        proto_tasks.append((pair[0], pair[1], 1))
     batch = stack_states(protos)
     reps = -(-args.batch // n_proto)
     batch = jax.tree.map(
@@ -97,8 +106,7 @@ def main():
         else:
             from lbc_tpu.agents.privileged import \
                 privileged_init as _reset_init
-        bank = build_reset_bank(
-            env, [(11 * s + 7, 11 * s + 60, 1) for s in range(n_proto)])
+        bank = build_reset_bank(env, proto_tasks)
         ptrs = jnp.arange(args.batch, dtype=jnp.int32) % n_proto
         rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(args.batch))
         if args.mesh:

@@ -10,6 +10,13 @@ global_route_planner_dao.py:26-69) with an offline-computed lane graph:
 * junction connectors are tangent-aligned cubic Beziers between trimmed
   lane ends, classified LEFT/RIGHT/STRAIGHT by tangent cross product
   (global_route_planner.py:263-322 equivalent);
+* the reference's zero-cost lane-change edges
+  (global_route_planner.py:169-210) are subsumed by construction: parallel
+  same-direction lanes share their junction nodes, and _connect_junctions
+  creates a connector for EVERY (incoming, outgoing) lane pair, so Dijkstra
+  can enter/leave any parallel lane at each junction (multi-lane routing is
+  covered without mid-segment jumps — tests/test_maps.py
+  test_parallel_lanes_routable);
 * a dense ~1 m waypoint lattice with successor indices feeds NPC roaming
   and nearest-waypoint queries on device;
 * Dijkstra over the lane-segment graph plans routes at

@@ -102,3 +102,53 @@ def test_spawn_points(md):
 def test_lights_near_their_stop_lanes(md):
     d = np.hypot(*(md.light_pole_pos - md.light_stop_pos).T)
     assert np.median(d) < 20.0
+
+
+def test_parallel_lanes_routable(tmp_path, monkeypatch):
+    """Multi-lane coverage (global_route_planner.py:169-210 analog):
+    parallel same-direction lanes share junction nodes, so every
+    (incoming, outgoing) pair gets a connector and Dijkstra can use
+    either lane — the reference's zero-cost lane-change edges are
+    subsumed by construction. Synthetic 2-lane town: two parallel edges
+    A/B between n0-n1, one exit edge n1-n2."""
+    import json
+
+    import lbc_tpu.maps.roadnet as R
+
+    town = {
+        'name': 'twolane',
+        'world_offset': [0.0, 0.0],
+        'pixels_per_meter': 5.0,
+        'mask_shape': [1200, 1200],
+        'lane_width_m': 5.0,
+        'nodes': [[20.0, 100.0], [140.0, 100.0], [140.0, 220.0]],
+        'edges': [
+            {'nodes': [0, 1], 'half_width_m': 5.0,
+             'points': [[20.0, 100.0], [140.0, 100.0]]},
+            {'nodes': [0, 1], 'half_width_m': 5.0,    # parallel lane pair
+             'points': [[20.0, 107.0], [140.0, 107.0]]},
+            {'nodes': [1, 2], 'half_width_m': 5.0,
+             'points': [[140.0, 100.0], [140.0, 220.0]]},
+        ],
+        'lights': [],
+    }
+    (tmp_path / 'twolane.json').write_text(json.dumps(town))
+    monkeypatch.setattr(R, 'ASSETS', tmp_path)
+    net = R.RoadNetwork('twolane')
+
+    # both parallel forward lanes end at n1 and can reach the exit edge
+    fwd = [s for s in net.segments
+           if not s.is_junction and s.start_node == 0 and s.end_node == 1]
+    assert len(fwd) == 2
+    for lane in fwd:
+        assert lane.successors, 'parallel lane dead-ends at junction'
+
+    # a route from EITHER parallel lane reaches the target past n1
+    target = np.array([137.5, 200.0])
+    for lane in fwd:
+        start = lane.points[2]
+        t = lane.points[3] - lane.points[2]
+        yaw = float(np.arctan2(t[1], t[0]))
+        pts, cmds = net.plan_route(start, target, start_yaw=yaw)
+        assert np.hypot(*(pts[-1] - target)) < 6.0
+        assert len(pts) > 10
