@@ -41,3 +41,26 @@ def make_image_agent(model: ImagePolicy, variables):
         return control, ImageAgentState(ctrl), (locations, rgb)
 
     return step
+
+
+def make_image_agent_batched(model: ImagePolicy, variables,
+                             interpret: bool = False):
+    """Batched-agent variant for make_rollout(batched_agent=True): the
+    camera render runs through the fused Pallas kernel
+    (ops/camera_kernel.py) and the conv net sees the full env batch at
+    once — mirrors make_privileged_agent_batched. `interpret` runs the
+    kernel in Pallas interpret mode (CPU tests)."""
+    from ..ops.camera_kernel import render_camera_state_pallas
+
+    def step(map_data, env_states, obs, agent_states):
+        rgb = render_camera_state_pallas(map_data, env_states,
+                                         interpret=interpret)
+        speed = obs['speed']
+        command = obs['command']
+        locations = model.apply(variables, rgb, speed,
+                                one_hot_command(command))
+        control, ctrl = image_agent_control(
+            locations, speed, command, agent_states.controller)
+        return control, ImageAgentState(ctrl), (locations, rgb)
+
+    return step

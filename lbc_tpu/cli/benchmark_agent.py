@@ -63,14 +63,20 @@ def model_agent_factory(model_path: str):
             step_fn = make_privileged_agent(model, variables)
         init_one = privileged_init
     elif name in ('image_ss', 'image'):
-        from ..agents.image import image_agent_init, make_image_agent
+        from ..agents.image import (image_agent_init, make_image_agent,
+                                    make_image_agent_batched)
         from ..train.image_trainer import make_image_model
         model = make_image_model(backbone=backbone, all_branch=False)
         template, _ = init_image_training(jax.random.PRNGKey(0), model)
         state = load_checkpoint(model_path, template)
         variables = {'params': state.params,
                      'batch_stats': state.batch_stats}
-        step_fn = make_image_agent(model, variables)
+        if jax.default_backend() == 'tpu':
+            # fused Pallas camera render + full-batch conv net
+            step_fn = make_image_agent_batched(model, variables)
+            step_fn.batched = True
+        else:
+            step_fn = make_image_agent(model, variables)
         init_one = image_agent_init
     else:
         raise ValueError(f'unknown model in config: {name}')

@@ -16,16 +16,20 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-import jax
-
-jax.config.update('jax_platforms', 'cpu')
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--out', default='ckpts/image_full/data')
     ap.add_argument('--frames', type=int, default=1500)
+    ap.add_argument('--platform', default='cpu', choices=['cpu', 'tpu'],
+                    help='tpu is worth probing now that the camera '
+                         'composite is argmin-then-gather (the old '
+                         '(H,W,K,3) broadcast OOMed the worker)')
+    ap.add_argument('--episodes-scale', type=float, default=1.0)
     args = ap.parse_args()
+
+    import jax
+    if args.platform == 'cpu':
+        jax.config.update('jax_platforms', 'cpu')
 
     from full_pipeline import route_pairs
 
@@ -37,6 +41,7 @@ def main():
         ('empty', 16, 0, 0, 3.2, 63),
     ]
     for name, n_ep, nv, nw, v_avg, seed in tranches:
+        n_ep = max(1, int(round(n_ep * args.episodes_scale)))
         pairs = route_pairs('Town01', 48,
                             max_len=args.frames * 0.1 * v_avg, seed=seed)
         t0 = time.time()
