@@ -146,7 +146,9 @@ def collect_episodes(out_dir, n_episodes: int = 8,
                      n_pedestrians: int = 0, n_noise: int = 0,
                      batch_size: Optional[int] = None,
                      include_bev: bool = True, render_rgb: bool = False,
-                     min_frames: int = 500, pose_pairs=None) -> int:
+                     min_frames: int = 500, pose_pairs=None,
+                     rgb_batched: Optional[bool] = None,
+                     pallas_interpret: bool = False) -> int:
     """Collect accepted episodes into `out_dir`; returns #accepted."""
     from ..render.bev import render_bev_state
     from .episode_store import pack_birdview
@@ -157,6 +159,17 @@ def collect_episodes(out_dir, n_episodes: int = 8,
         respawn_peds=False, route_resolution=1.0,
         threshold_before=7.5, threshold_after=5.0))
     agent_step = make_noisy_expert(n_noise=n_noise)
+
+    # On TPU the RGB frames come from the fused Pallas camera kernel at
+    # full batch (one pallas_call per tick instead of a vmapped per-env
+    # XLA render — the old fused-XLA camera-in-scan crashed the worker).
+    if rgb_batched is None:
+        rgb_batched = jax.default_backend() == 'tpu'
+    rgb_batched = render_rgb and rgb_batched
+    if render_rgb:
+        # import OUTSIDE the traced collect callback: executing the module
+        # (with its jnp constant tables) during tracing leaks tracers
+        from ..render.camera import render_camera_state
 
     def collect(env_state, obs, control, real_control):
         rec = {
@@ -171,15 +184,33 @@ def collect_episodes(out_dir, n_episodes: int = 8,
                 packed = packed | ((bev[..., c] > 0).astype(jnp.uint8)
                                    << c)
             rec['birdview_packed'] = packed
-        if render_rgb:
-            from ..render.camera import render_camera_state
+        if render_rgb and not rgb_batched:
             rec['rgb'] = (render_camera_state(env.map_data, env_state)
                           * 255).astype(jnp.uint8)
         return rec
 
     batch_size = batch_size or min(n_episodes, 8)
-    rollout = make_rollout(env, agent_step, frames_per_episode,
-                           collect=collect)
+    if rgb_batched:
+        from ..ops.camera_kernel import render_camera_state_pallas
+
+        def agent_batched(map_data, env_states, obs, agent_states):
+            return jax.vmap(
+                lambda s, o, a: agent_step(map_data, s, o, a))(
+                    env_states, obs, agent_states)
+
+        def collect_batched(env_states, obs, control, aux):
+            rec = jax.vmap(collect)(env_states, obs, control, aux)
+            rec['rgb'] = (render_camera_state_pallas(
+                env.map_data, env_states, interpret=pallas_interpret)
+                * 255).astype(jnp.uint8)
+            return rec
+        collect_batched.batched = True
+        rollout = make_rollout(env, agent_batched, frames_per_episode,
+                               collect=collect_batched,
+                               batched_agent=True)
+    else:
+        rollout = make_rollout(env, agent_step, frames_per_episode,
+                               collect=collect)
 
     rng = np.random.RandomState(seed)
     accepted = 0

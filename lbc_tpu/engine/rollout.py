@@ -48,6 +48,9 @@ def make_rollout(env, agent_step: Callable, n_steps: int,
     run the conv net at the full batch size).
     collect(env_state, obs, control, aux) -> pytree recorded per step
     (stacked along time at axis 0); None disables trajectory recording.
+    With `batched_agent`, a collect carrying `collect.batched = True`
+    receives full (B, ...) batches instead of being vmapped — lets it
+    call batched kernels (e.g. the fused Pallas camera render).
     """
     map_data = env.map_data
 
@@ -73,7 +76,12 @@ def make_rollout(env, agent_step: Callable, n_steps: int,
     else:
         observe_b = jax.vmap(env.observe)
         step_b = jax.vmap(env.step)
-        collect_b = jax.vmap(collect) if collect is not None else None
+        if collect is None:
+            collect_b = None
+        elif getattr(collect, 'batched', False):
+            collect_b = collect
+        else:
+            collect_b = jax.vmap(collect)
 
         def batched(env_states, agent_states):
             obs = observe_b(env_states)

@@ -106,12 +106,79 @@ def make_dagger_agent(student_model, student_vars, teacher_model,
     return step
 
 
+def make_dagger_agent_batched(student_model, student_vars, teacher_model,
+                              teacher_vars, episode: int,
+                              beta: float = 0.95,
+                              interpret: bool = False):
+    """Batched DAgger agent: both renders run through the fused Pallas
+    kernels and both nets see the full env batch. This replaces the
+    per-env XLA camera inside the long fused scan — the pattern that
+    crashed the TPU worker in round 1 (CLAUDE.md) — and matches
+    make_dagger_agent step-for-step (tests/test_camera_kernel.py)."""
+    from ..engine.lights import light_states
+    from ..ops import render_bev_crop_pallas
+    from ..ops.camera_kernel import render_camera_state_pallas
+    p_student = 0.5 + 0.5 * (1.0 - beta ** episode)
+
+    def step(map_data, env_states, obs, astates: DaggerAgentState):
+        rgb = render_camera_state_pallas(map_data, env_states,
+                                         interpret=interpret)
+        lstate = jax.vmap(lambda t0, t: light_states(
+            map_data.light_junction, map_data.light_phase,
+            map_data.junction_n_phases, t0, t))(
+                env_states.episode.light_t0, env_states.episode.tick)
+        crop = render_bev_crop_pallas(
+            map_data, env_states.ego.pos, env_states.ego.yaw,
+            env_states.npc.pos, env_states.npc.yaw, env_states.npc.active,
+            env_states.walkers.pos, env_states.walkers.active, lstate,
+            dx=AGENT_CROP_DX, interpret=interpret)
+
+        speed = obs['speed']
+        command = obs['command']
+        cmd_oh = one_hot_command(command)
+
+        s_out = student_model.apply(student_vars, rgb, speed, cmd_oh)
+        s_locs = s_out[0] if isinstance(s_out, tuple) else s_out
+        img_control, img_ctrl = image_agent_control(
+            s_locs, speed, command, astates.img_ctrl)
+
+        t_out = teacher_model.apply(teacher_vars, crop, speed, cmd_oh)
+        t_locs = t_out[0] if isinstance(t_out, tuple) else t_out
+        bv_control, bv_ctrl = birdview_agent_control(
+            t_locs, speed, command, astates.bv_ctrl)
+
+        ks = jax.vmap(jax.random.split)(astates.rng)    # (B, 2, 2)
+        key, k = ks[:, 0], ks[:, 1]
+        u = jax.vmap(lambda kk: jax.random.uniform(kk, ()))(k)
+        use_student = u < p_student
+        control = jnp.where(use_student[:, None], img_control, bv_control)
+
+        packed = jnp.zeros(crop.shape[:3], jnp.uint8)
+        for c in range(7):
+            packed = packed | ((crop[..., c] > 0).astype(jnp.uint8) << c)
+        aux = {
+            'rgb': (rgb * 255).astype(jnp.uint8),
+            'bev_packed': packed,
+            'command': command,
+            'speed': speed,
+            'teacher_locs': t_locs,
+            'student_locs_bev': image_to_bev(s_locs),
+            'collided': env_states.episode.collided,
+            'done': env_states.episode.done,
+        }
+        return control, DaggerAgentState(img_ctrl, bv_ctrl, key), aux
+
+    return step
+
+
 def dagger_rollout(buffer: ReplayBuffer, student_model, student_vars,
                    teacher_model, teacher_vars, episode: int,
                    episode_length: int = 1000, town: str = 'Town01',
                    n_vehicles: int = 100, n_pedestrians: int = 250,
                    weathers=TRAIN_WEATHERS, seed: int = 0,
-                   env: DrivingEnv = None, pose_pairs=None) -> int:
+                   env: DrivingEnv = None, pose_pairs=None,
+                   batched: bool = None,
+                   pallas_interpret: bool = False) -> int:
     """One DAgger data-collection episode: rollouts across the train
     weathers simultaneously; frames added to the replay buffer."""
     if env is None:
@@ -132,8 +199,16 @@ def dagger_rollout(buffer: ReplayBuffer, student_model, student_vars,
     if n_vehicles or n_pedestrians:
         batch = env.warmup(batch, ticks=50)
 
-    agent_step = make_dagger_agent(student_model, student_vars,
-                                   teacher_model, teacher_vars, episode)
+    if batched is None:
+        batched = jax.default_backend() == 'tpu'
+    if batched:
+        agent_step = make_dagger_agent_batched(
+            student_model, student_vars, teacher_model, teacher_vars,
+            episode, interpret=pallas_interpret)
+    else:
+        agent_step = make_dagger_agent(student_model, student_vars,
+                                       teacher_model, teacher_vars,
+                                       episode)
     agents = jax.tree.map(
         lambda *x: jnp.stack(x),
         *[dagger_agent_init(seed * 733 + episode * 17 + i)
@@ -141,9 +216,10 @@ def dagger_rollout(buffer: ReplayBuffer, student_model, student_vars,
 
     def collect(env_state, obs, control, aux):
         return aux
+    collect.batched = batched
 
     rollout = make_rollout(env, agent_step, episode_length,
-                           collect=collect)
+                           collect=collect, batched_agent=batched)
     final, _, metrics, recs = rollout(batch, agents)
 
     done_t = np.asarray(recs['done'])          # (T, B)

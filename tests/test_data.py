@@ -192,3 +192,22 @@ def test_collect_episodes_small(tmp_path):
     # ego moved
     assert np.hypot(*(ep.measurements[-1][:2]
                       - ep.measurements[0][:2])) > 10
+
+
+def test_collect_rgb_batched_matches_per_env(tmp_path):
+    """RGB collection through the batched Pallas camera path produces the
+    same episodes as the per-env XLA path (same seeds -> same world;
+    frames agree up to capsule-boundary pixels)."""
+    kw = dict(n_episodes=1, frames_per_episode=400, seed=3, batch_size=1,
+              min_frames=30, pose_pairs=[(35, 39)], render_rgb=True)
+    n1 = collect_episodes(tmp_path / 'a', rgb_batched=False, **kw)
+    n2 = collect_episodes(tmp_path / 'b', rgb_batched=True,
+                          pallas_interpret=True, **kw)
+    assert n1 == n2 == 1
+    ep_a = Episode(next((tmp_path / 'a').glob('episode_*')))
+    ep_b = Episode(next((tmp_path / 'b').glob('episode_*')))
+    assert len(ep_a) == len(ep_b)
+    np.testing.assert_array_equal(ep_a.measurements, ep_b.measurements)
+    ra, rb = ep_a.rgb[0].astype(int), ep_b.rgb[0].astype(int)
+    assert ra.shape == rb.shape == (160, 384, 3)
+    assert np.mean(np.abs(ra - rb) > 2) < 1e-3
