@@ -47,14 +47,24 @@ def make_privileged_agent(model: BirdviewPolicy, variables):
     return step
 
 
-def make_privileged_agent_batched(model: BirdviewPolicy, variables):
+def make_privileged_agent_batched(model: BirdviewPolicy, variables,
+                                  compute_dtype=None):
     """Batched-agent variant for make_rollout(batched_agent=True): the BEV
     render runs through the fused Pallas kernel and the conv net sees the
-    full env batch at once (the fast path used by bench.py)."""
+    full env batch at once (the fast path used by bench.py).
+
+    `compute_dtype=jnp.bfloat16` runs the conv net in bf16 (params cast
+    once here, activations per step); waypoints return to f32 before the
+    controller, whose PID state stays f32."""
     import jax
 
     from ..engine.lights import light_states
     from ..ops import render_bev_crop_pallas
+
+    if compute_dtype is not None:
+        variables = jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, variables)
 
     def step(map_data, env_states, obs, agent_states):
         lstate = jax.vmap(lambda t0, t: light_states(
@@ -70,8 +80,15 @@ def make_privileged_agent_batched(model: BirdviewPolicy, variables):
             dx=AGENT_CROP_DX)
         speed = obs['speed']
         command = obs['command']
-        locations = model.apply(variables, crop, speed,
-                                one_hot_command(command))
+        if compute_dtype is not None:
+            crop = crop.astype(compute_dtype)
+            locations = model.apply(
+                variables, crop, speed.astype(compute_dtype),
+                one_hot_command(command).astype(compute_dtype))
+            locations = locations.astype(jnp.float32)
+        else:
+            locations = model.apply(variables, crop, speed,
+                                    one_hot_command(command))
         control, ctrl = birdview_agent_control(
             locations, speed, command, agent_states.controller)
         return control, PrivilegedAgentState(ctrl), locations

@@ -1,3 +1,5 @@
-from .mesh import data_sharding, make_mesh, replicated, shard_batch
+from .mesh import (data_sharding, init_distributed, make_mesh, replicated,
+                   shard_batch)
 
-__all__ = ['data_sharding', 'make_mesh', 'replicated', 'shard_batch']
+__all__ = ['data_sharding', 'init_distributed', 'make_mesh', 'replicated',
+           'shard_batch']

@@ -41,3 +41,35 @@ def shard_batch(mesh: Mesh, batch):
     """Place a pytree with its leading axis sharded over the mesh."""
     sh = data_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host (DCN) initialization path.
+
+    Calls jax.distributed.initialize when multi-process coordinates are
+    available — explicitly, via JAX_COORDINATOR_ADDRESS-style env vars, or
+    from a cluster environment jax can auto-detect (TPU pods). Returns
+    True when a multi-process runtime was initialized, False for the
+    single-host no-op. After init, jax.devices() is global, so make_mesh
+    spans all hosts and the same shard_map rollouts/DP train steps ride
+    DCN across slices with no further changes.
+    """
+    import os
+    explicit = coordinator_address is not None
+    env_configured = 'JAX_COORDINATOR_ADDRESS' in os.environ or \
+        'COORDINATOR_ADDRESS' in os.environ
+    on_pod = 'TPU_WORKER_HOSTNAMES' in os.environ or \
+        'MEGASCALE_COORDINATOR_ADDRESS' in os.environ
+    if not (explicit or env_configured or on_pod):
+        return False
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs['coordinator_address'] = coordinator_address
+    if num_processes is not None:
+        kwargs['num_processes'] = num_processes
+    if process_id is not None:
+        kwargs['process_id'] = process_id
+    jax.distributed.initialize(**kwargs)
+    return True

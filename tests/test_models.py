@@ -89,3 +89,55 @@ def test_birdview_policy_vmap_consistency():
     batched = model.apply(variables, bv, vel, cmd)
     single = model.apply(variables, bv[1:2], vel[1:2], cmd[1:2])
     np.testing.assert_allclose(batched[1], single[0], atol=2e-5)
+
+
+def test_batched_privileged_agent_bf16_close_to_f32():
+    """compute_dtype=bfloat16 inference stays close to f32 (the bench/eval
+    fast path casts params once and activations per step)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lbc_tpu.agents.privileged import (make_privileged_agent_batched,
+                                           privileged_init)
+    from lbc_tpu.engine import DrivingEnv, EnvConfig, stack_states
+    from lbc_tpu.models import BirdviewPolicy
+
+    env = DrivingEnv(EnvConfig(town='Town01', n_vehicles=2,
+                               n_pedestrians=2))
+    batch = stack_states([env.reset_np(seed=s, start=10 + s, target=60)
+                          for s in range(2)])
+    obs = jax.vmap(env.observe)(batch)
+    agents = jax.tree.map(lambda x: jnp.stack([x] * 2), privileged_init())
+
+    model = BirdviewPolicy()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 192, 192, 7)), jnp.zeros((1,)),
+                           jnp.zeros((1, 4)))
+    # CPU has no TPU Pallas lowering; interpret via monkey helper: call the
+    # step fns' underlying pieces through the public path on CPU works
+    # because render_bev_crop_pallas accepts interpret only via wrapper --
+    # so compare the net+controller part directly on a rendered crop.
+    from lbc_tpu.constants import AGENT_CROP_DX
+    from lbc_tpu.models import crop_birdview, one_hot_command
+    from lbc_tpu.render.bev import render_bev_state
+    from lbc_tpu.control import birdview_agent_control
+
+    bev = jax.vmap(lambda s: render_bev_state(env.map_data, s))(batch)
+    crop = jax.vmap(lambda b: crop_birdview(b, dx=AGENT_CROP_DX))(bev)
+    cmd = one_hot_command(obs['command'])
+
+    loc32 = model.apply(variables, crop, obs['speed'], cmd)
+    var16 = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, variables)
+    loc16 = model.apply(var16, crop.astype(jnp.bfloat16),
+                        obs['speed'].astype(jnp.bfloat16),
+                        cmd.astype(jnp.bfloat16)).astype(jnp.float32)
+    assert np.abs(np.asarray(loc16) - np.asarray(loc32)).max() < 0.1
+
+    c32, _ = birdview_agent_control(loc32, obs['speed'], obs['command'],
+                                    agents.controller)
+    c16, _ = birdview_agent_control(loc16, obs['speed'], obs['command'],
+                                    agents.controller)
+    assert np.abs(np.asarray(c16) - np.asarray(c32)).max() < 0.3

@@ -94,3 +94,21 @@ def test_sharded_rollout_batched_agent():
                            shard_batch(mesh, agent0))
     _assert_trees_equal(m1, m2)
     _assert_trees_equal(e1, e2)
+
+
+def test_init_distributed_single_host_noop(monkeypatch):
+    """Without coordinates, init_distributed is a no-op returning False
+    (single-host); with an explicit address it would call
+    jax.distributed.initialize (stubbed here — no second host exists)."""
+    import lbc_tpu.parallel as par
+    for var in ('JAX_COORDINATOR_ADDRESS', 'COORDINATOR_ADDRESS',
+                'TPU_WORKER_HOSTNAMES', 'MEGASCALE_COORDINATOR_ADDRESS'):
+        monkeypatch.delenv(var, raising=False)
+    assert par.init_distributed() is False
+
+    called = {}
+    monkeypatch.setattr(jax.distributed, 'initialize',
+                        lambda **kw: called.update(kw))
+    assert par.init_distributed('10.0.0.1:1234', 2, 0) is True
+    assert called == {'coordinator_address': '10.0.0.1:1234',
+                      'num_processes': 2, 'process_id': 0}
