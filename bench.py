@@ -23,7 +23,7 @@ BASELINE_STEPS_PER_SEC = 10.0
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--batch', type=int, default=1024)
-    ap.add_argument('--steps', type=int, default=100)
+    ap.add_argument('--steps', type=int, default=250)
     ap.add_argument('--agent', choices=['privileged', 'expert'],
                     default='privileged')
     ap.add_argument('--town', default='Town01')

@@ -117,3 +117,30 @@ def test_decode_jit_vmap():
     control, state2 = fn(locs, speeds, cmds, state)
     assert control.shape == (8, 3)
     assert state2.speed_pid.count.shape == (8,)
+
+
+def test_birdview_control_batched_matches_single_and_brakes():
+    """Batched control decode == per-env decode; bunched waypoints (the
+    net's stop signal) trigger the full-brake rule (birdview.py:161-164)
+    through the batched path used on TPU."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lbc_tpu.control import birdview_agent_control, controller_init
+
+    bunched = jnp.tile(jnp.array([[0.0, -0.01]]), (5, 1))
+    spread = jnp.stack([jnp.zeros(5), -jnp.linspace(0.1, 0.9, 5)], -1)
+    locs = jnp.stack([bunched, spread])
+    speed = jnp.array([5.0, 5.0])
+    cmd = jnp.array([4, 4])
+    ctrl0 = jax.tree.map(lambda x: jnp.stack([x] * 2), controller_init())
+
+    c_b, _ = birdview_agent_control(locs, speed, cmd, ctrl0)
+    singles = [birdview_agent_control(
+        locs[i], speed[i], cmd[i],
+        jax.tree.map(lambda x: x[i], ctrl0))[0] for i in range(2)]
+    np.testing.assert_allclose(np.asarray(c_b), np.stack(singles),
+                               atol=1e-6)
+    assert float(c_b[0, 2]) == 1.0      # full brake
+    assert float(c_b[1, 1]) > 0.0      # throttle when moving on

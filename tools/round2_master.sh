@@ -47,16 +47,12 @@ fi
 # ---- 3. RGB collection ----------------------------------------------------
 if [ ! -d ckpts/image_full/data ] || \
    [ "$(ls ckpts/image_full/data 2>/dev/null | wc -l)" -lt 32 ]; then
-  stamp "stage 3: RGB collection — TPU probe"
-  if timeout 1800 python tools/collect_rgb.py --platform tpu \
-       --episodes-scale 0.05 --out /tmp/rgb_probe; then
-    stamp "  TPU camera collect survived — full run on TPU"
-    timeout 7200 python tools/collect_rgb.py --platform tpu \
-      --out ckpts/image_full/data
-  else
-    stamp "  TPU probe failed — CPU fallback at reduced scale"
+  stamp "stage 3: RGB collection on TPU (batched Pallas camera)"
+  if ! timeout 7200 python tools/collect_rgb.py --platform tpu \
+       --out ckpts/image_full/data; then
+    stamp "  TPU camera collect failed — CPU fallback at reduced scale"
     timeout 10800 python tools/collect_rgb.py --platform cpu \
-      --episodes-scale 0.5 --out ckpts/image_full/data
+      --episodes-scale 0.25 --out ckpts/image_full/data
   fi
 fi
 
@@ -65,7 +61,7 @@ if [ ! -f /tmp/stage4.done ]; then
   stamp "stage 4: image phases 0/1"
   python tools/image_pipeline.py --skip-collect \
     --workdir ckpts/image_full --teacher "$PRIV" \
-    --phase0-epochs 12 --phase1-epochs 48 --samples 250 --batch 128 \
+    --phase0-epochs 8 --phase1-epochs 32 --samples 250 --batch 128 \
     --bench-suite StraightTown01-v1
   touch /tmp/stage4.done
 fi
