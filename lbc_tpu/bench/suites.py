@@ -246,6 +246,13 @@ _aliases = {
     'dense-np': [
         'NoCrashTown01-v5-np', 'NoCrashTown01-v6-np',
         'NoCrashTown02-v5-np', 'NoCrashTown02-v6-np'],
+    # compact student-agent evaluation: CoRL straights/nav both towns +
+    # nav-dynamic + NoCrash regular/dense (one invocation amortizes the
+    # per-process model-init compile over the TPU tunnel)
+    'student-eval': [
+        'StraightTown01-v1', 'TurnTown01-v1', 'FullTown01-v1',
+        'FullTown01-v3', 'FullTown02-v1', 'FullTown02-v3',
+        'NoCrashTown01-v3', 'NoCrashTown01-v5'],
 }
 _aliases['all'] = _aliases['town1'] + _aliases['town2']
 

@@ -31,13 +31,11 @@ stamp "privileged checkpoint: $PRIV"
 BA="python -m lbc_tpu.cli.benchmark_agent --batch-size 100 --seed 0"
 
 # ---- 2. privileged benchmark matrix --------------------------------------
+# aliases batch suites per invocation: each benchmark_agent process pays
+# ~5 min of model-init compile over the tunnel, so 5 invocations, not 16
 if [ ! -f /tmp/stage2.done ]; then
   stamp "stage 2: privileged benchmarks"
-  for suite in town1 town2 \
-      NoCrashTown01-v1 NoCrashTown01-v2 NoCrashTown01-v3 NoCrashTown01-v4 \
-      NoCrashTown01-v5 NoCrashTown01-v6 \
-      NoCrashTown02-v1 NoCrashTown02-v2 NoCrashTown02-v3 NoCrashTown02-v4 \
-      NoCrashTown02-v5 NoCrashTown02-v6; do
+  for suite in town1 town2 empty regular dense; do
     stamp "  suite $suite"
     $BA --suite "$suite" --model-path "$PRIV"
   done
@@ -86,12 +84,8 @@ print(latest_checkpoint('ckpts/image_full/phase2'))")
 # ---- 6. image + DAgger benchmarks ------------------------------------------
 if [ ! -f /tmp/stage6.done ]; then
   stamp "stage 6: image/DAgger benchmarks ($PHASE2)"
-  for suite in StraightTown01-v1 TurnTown01-v1 FullTown01-v1 FullTown01-v3 \
-      FullTown02-v3 NoCrashTown01-v3 NoCrashTown01-v5; do
-    stamp "  phase2 on $suite"
-    $BA --suite "$suite" --model-path "$PHASE2"
-  done
-  $BA --suite StraightTown01-v1 --model-path "$PHASE1"
+  $BA --suite student-eval --model-path "$PHASE2"
+  $BA --suite student-eval --model-path "$PHASE1"
   touch /tmp/stage6.done
 fi
 
