@@ -70,6 +70,10 @@ def train(config):
             speed_noise=config['speed_noise']))
 
     schedule = config.get('augment_schedule', 'super_hard')
+    # jit once: params are dynamic jnp scalars, so the annealing clock
+    # does NOT retrace; eager (unjitted) execution dispatched hundreds of
+    # ops per batch over the TPU tunnel and churned host memory to OOM
+    aug_fn = jax.jit(augment_batch)
     key = jax.random.PRNGKey(config.get('seed', 0) + 99)
     images_seen = 0
     for epoch in range(config['max_epoch'] + 1):
@@ -82,7 +86,7 @@ def train(config):
             batch['command'] = batch['command'].astype(jnp.int32)
             if config.get('augment', True):
                 key, k1 = jax.random.split(key)
-                batch['rgb'] = augment_batch(
+                batch['rgb'] = aug_fn(
                     k1, batch['rgb'],
                     schedule_params(schedule, images_seen))
             images_seen += batch['rgb'].shape[0]

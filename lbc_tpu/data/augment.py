@@ -85,24 +85,29 @@ _SCHEDULES = {
 def schedule_params(name: str, image_iteration) -> AugmentParams:
     """Annealed parameters of a named schedule at `image_iteration`
     (the number of images seen so far, augmenter.py's clock)."""
+    import numpy as np
+
+    # host-side numpy on purpose: these ~15 scalar ops run per batch, and
+    # as jnp eager ops each would be a round trip over the TPU tunnel;
+    # the results enter the jitted augment as ordinary dynamic scalars
     (it_div, freq_den, freq_cap, color_den, blur_den, add_den, mp_den,
      mn_den, cp_scale, cp_den, cn_den) = _SCHEDULES[name]
-    it = jnp.asarray(image_iteration, jnp.float32) / it_div
+    it = np.float32(image_iteration) / np.float32(it_div)
     freq = 0.05 + it / freq_den
     if freq_cap is not None:
-        freq = jnp.minimum(freq, freq_cap)
+        freq = min(freq, freq_cap)
     drop = _dropout_factor(it)
     return AugmentParams(
-        freq=jnp.clip(freq, 0.0, 1.0),
-        color=jnp.clip(it / color_den, 0.0, 1.0),
-        blur_max=0.5 + 0.5 * it / blur_den,
-        noise_max=drop,
-        dropout_max=drop,
-        add_max=10.0 + 10.0 * it / add_den,
-        mult_lo=jnp.maximum(1.0 - 0.91 * it / mn_den, 0.0),
-        mult_hi=1.0 + 2.5 * it / mp_den,
-        contrast_lo=jnp.maximum(1.0 - 0.5 * it / cn_den, 0.0),
-        contrast_hi=1.0 + cp_scale * it / cp_den)
+        freq=np.clip(freq, 0.0, 1.0),
+        color=np.clip(it / color_den, 0.0, 1.0),
+        blur_max=np.float32(0.5 + 0.5 * it / blur_den),
+        noise_max=np.float32(drop),
+        dropout_max=np.float32(drop),
+        add_max=np.float32(10.0 + 10.0 * it / add_den),
+        mult_lo=np.maximum(np.float32(1.0 - 0.91 * it / mn_den), 0.0),
+        mult_hi=np.float32(1.0 + 2.5 * it / mp_den),
+        contrast_lo=np.maximum(np.float32(1.0 - 0.5 * it / cn_den), 0.0),
+        contrast_hi=np.float32(1.0 + cp_scale * it / cp_den))
 
 
 def _gauss_blur(img, sigma):
