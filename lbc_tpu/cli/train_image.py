@@ -81,7 +81,7 @@ def train(config):
         sampler = BatchSampler(ds, config['batch_size'],
                                samples=config['samples_per_epoch'],
                                seed=epoch, image=True)
-        for np_batch in sampler:
+        for i, np_batch in enumerate(sampler):
             batch = {k2: jnp.asarray(v) for k2, v in np_batch.items()}
             batch['command'] = batch['command'].astype(jnp.int32)
             if config.get('augment', True):
@@ -96,6 +96,11 @@ def train(config):
                 key, k2 = jax.random.split(key)
                 state, m = step(state, batch, k2)
             losses.append(m['loss'])   # device-side until epoch end
+            if i % 4 == 3:
+                # backpressure: without an occasional sync the host
+                # stages every async batch (~160 MB each) while the
+                # remote TPU lags behind — the backlog OOMed at 130 GB
+                jax.block_until_ready(m['loss'])
         for lo in losses:
             log.scalar(is_train=True, loss=float(lo))
         stats = log.end_epoch()
