@@ -61,13 +61,17 @@ def train(config):
                       max_frames=config['data_args'].get('max_frames'))
 
     phase = config['phase']
+    # donate the incoming train state: without it every step materializes
+    # a fresh ~300 MB params+optimizer pytree and the host-side mirrors
+    # of the old ones accumulate faster than they are reclaimed (OOM)
     if phase == 0:
         step = jax.jit(lambda s, b: phase0_train_step(
-            s, b, model, tx, teacher_model, teacher_vars))
+            s, b, model, tx, teacher_model, teacher_vars),
+            donate_argnums=(0,))
     else:
         step = jax.jit(lambda s, b, k: phase1_train_step(
             s, b, model, tx, teacher_model, teacher_vars, k,
-            speed_noise=config['speed_noise']))
+            speed_noise=config['speed_noise']), donate_argnums=(0,))
 
     schedule = config.get('augment_schedule', 'super_hard')
     # jit once: params are dynamic jnp scalars, so the annealing clock
@@ -96,11 +100,11 @@ def train(config):
                 key, k2 = jax.random.split(key)
                 state, m = step(state, batch, k2)
             losses.append(m['loss'])   # device-side until epoch end
-            if i % 4 == 3:
-                # backpressure: without an occasional sync the host
-                # stages every async batch (~160 MB each) while the
-                # remote TPU lags behind — the backlog OOMed at 130 GB
-                jax.block_until_ready(m['loss'])
+            if i % 8 == 7:
+                # hard sync (device->host transfer): bounds both the
+                # async dispatch backlog and deferred buffer frees on
+                # the tunnel client — the backlog OOMed at 130 GB
+                float(m['loss'])
         for lo in losses:
             log.scalar(is_train=True, loss=float(lo))
         stats = log.end_epoch()

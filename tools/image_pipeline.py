@@ -30,6 +30,7 @@ def main():
     ap.add_argument('--batch', type=int, default=64)
     ap.add_argument('--bench-suite', default='StraightTown01-v1')
     ap.add_argument('--skip-collect', action='store_true')
+    ap.add_argument('--no-augment', action='store_true')
     ap.add_argument('--skip-phase0', action='store_true')
     ap.add_argument('--skip-phase1', action='store_true')
     args = ap.parse_args()
@@ -71,7 +72,7 @@ def main():
     base = {
         'batch_size': args.batch,
         'samples_per_epoch': args.samples,
-        'augment': True,
+        'augment': not args.no_augment,
         'seed': 0,
         'model_args': {'model': 'image_ss', 'backbone': 'resnet34'},
         'teacher_args': {'model_path': args.teacher,
