@@ -285,7 +285,9 @@ def dagger_train_episode(buffer: ReplayBuffer, student_model,
         params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, params, stats, opt), loss, new_w
 
-    jit_step = jax.jit(train_step)
+    # donate the train state: un-donated ~300 MB params+opt pytrees pile
+    # up as host mirrors on the tunneled TPU client (see train_image)
+    jit_step = jax.jit(train_step, donate_argnums=(0,))
     state = student_state
     for _ in range(epochs):
         tx = optax.adam(lr)     # fresh optimizer each epoch

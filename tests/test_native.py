@@ -42,15 +42,23 @@ def test_rotate_matches_cv2():
 
 
 def test_speedup_sanity():
-    """The native unpack should not be slower than numpy."""
+    """The native unpack should not be slower than numpy. Best-of-3 on
+    both sides: single-shot wall times flake when the box is loaded
+    (TPU training on the 1-core host runs alongside CI)."""
     import time
     rng = np.random.RandomState(3)
     packed = rng.randint(0, 128, (64, 320, 320), np.uint8)
-    t0 = time.time()
-    unpack_birdview_native(packed)
-    t_native = time.time() - t0
-    t0 = time.time()
-    np.stack([(packed >> c) & 1 for c in range(7)],
-             axis=-1).astype(np.float32)
-    t_numpy = time.time() - t0
+
+    def best_of(fn, n=3):
+        times = []
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        return min(times)
+
+    t_native = best_of(lambda: unpack_birdview_native(packed))
+    t_numpy = best_of(lambda: np.stack(
+        [(packed >> c) & 1 for c in range(7)],
+        axis=-1).astype(np.float32))
     assert t_native < t_numpy * 2.0
