@@ -62,9 +62,14 @@ def make_privileged_agent_batched(model: BirdviewPolicy, variables,
     from ..ops import render_bev_crop_pallas
 
     if compute_dtype is not None:
-        variables = jax.tree.map(
+        # cast params only; BatchNorm batch_stats stay f32 — normalizing
+        # with bf16 running statistics adds avoidable error on top of the
+        # bf16 activations (flax BN upcasts stats consistently)
+        variables = dict(variables)
+        variables['params'] = jax.tree.map(
             lambda x: x.astype(compute_dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, variables)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            variables['params'])
 
     def step(map_data, env_states, obs, agent_states):
         lstate = jax.vmap(lambda t0, t: light_states(

@@ -78,13 +78,20 @@ def train(config):
     # does NOT retrace; eager (unjitted) execution dispatched hundreds of
     # ops per batch over the TPU tunnel and churned host memory to OOM
     aug_fn = jax.jit(augment_batch)
+    # epoch_offset: resume point for chunked runs (tools/phase1_chunk.py)
+    # — continues the sampler order, the augmentation anneal clock, and
+    # the RNG stream where the previous chunk left off instead of
+    # replaying chunk 1's schedule every time
+    epoch_offset = config.get('epoch_offset', 0)
     key = jax.random.PRNGKey(config.get('seed', 0) + 99)
-    images_seen = 0
+    key = jax.random.fold_in(key, epoch_offset)
+    images_seen = (epoch_offset * config['samples_per_epoch']
+                   * config['batch_size'])
     for epoch in range(config['max_epoch'] + 1):
         losses = []
         sampler = BatchSampler(ds, config['batch_size'],
                                samples=config['samples_per_epoch'],
-                               seed=epoch, image=True)
+                               seed=epoch_offset + epoch, image=True)
         for i, np_batch in enumerate(sampler):
             batch = {k2: jnp.asarray(v) for k2, v in np_batch.items()}
             batch['command'] = batch['command'].astype(jnp.int32)

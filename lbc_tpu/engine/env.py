@@ -196,6 +196,7 @@ class DrivingEnv:
                               vehicle_pos=npc.pos,
                               vehicle_active=npc.active,
                               vehicle_speed=npc.speed, ego_speed=speed,
+                              vehicle_yaw=npc.yaw, ego_yaw=yaw,
                               respawn_peds=self.config.respawn_peds)
 
         # --- collisions (carla_utils.py:680-714 analog, incl. the impulse
@@ -221,7 +222,13 @@ class DrivingEnv:
         prev_along = prev_rel[:, 0] * cos_l + prev_rel[:, 1] * sin_l
         in_lane = jnp.abs(lateral) < 2.5
         crossed = (prev_along <= 0.0) & (along > 0.0) & in_lane
-        ran_now = jnp.any(crossed & (lstate == RED))
+        # ran-light is judged ONLY against the closest light, as in the
+        # reference (get_closest_light, carla_utils.py:259-276,279-293):
+        # checking every stop line falsely counts sweeping across a cross
+        # street's line mid-turn while ego's own light is green
+        nearest_light = jnp.argmin(
+            jnp.linalg.norm(pos[None, :] - m.light_pole_pos, axis=-1))
+        ran_now = crossed[nearest_light] & (lstate[nearest_light] == RED)
         # active-light counting: nearest governed approach containing us
         in_zone = in_lane & (along > -10.0) & (along < 0.5)
         zone_dist = jnp.where(in_zone, -along, jnp.inf)

@@ -60,7 +60,10 @@ def init_distributed(coordinator_address: Optional[str] = None,
     explicit = coordinator_address is not None
     env_configured = 'JAX_COORDINATOR_ADDRESS' in os.environ or \
         'COORDINATOR_ADDRESS' in os.environ
-    on_pod = 'TPU_WORKER_HOSTNAMES' in os.environ or \
+    # TPU_WORKER_HOSTNAMES is also set by libtpu on single-host cloud
+    # TPU VMs — only treat it as "on a pod" with >1 worker listed
+    workers = os.environ.get('TPU_WORKER_HOSTNAMES', '')
+    on_pod = len([w for w in workers.split(',') if w.strip()]) > 1 or \
         'MEGASCALE_COORDINATOR_ADDRESS' in os.environ
     if not (explicit or env_configured or on_pod):
         return False

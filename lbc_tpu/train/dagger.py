@@ -286,9 +286,13 @@ def dagger_train_episode(buffer: ReplayBuffer, student_model,
         return TrainState(state.step + 1, params, stats, opt), loss, new_w
 
     # donate the train state: un-donated ~300 MB params+opt pytrees pile
-    # up as host mirrors on the tunneled TPU client (see train_image)
+    # up as host mirrors on the tunneled TPU client (see train_image).
+    # Copy the incoming state first — donation deletes the input buffers,
+    # and the first step would otherwise consume arrays the CALLER still
+    # owns (student_state.params is typically aliased by the rollout's
+    # student_vars); one ~300 MB copy per episode is cheap insurance.
     jit_step = jax.jit(train_step, donate_argnums=(0,))
-    state = student_state
+    state = jax.tree.map(jnp.copy, student_state)
     for _ in range(epochs):
         tx = optax.adam(lr)     # fresh optimizer each epoch
         state = state._replace(opt_state=tx.init(state.params))

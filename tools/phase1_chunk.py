@@ -37,19 +37,31 @@ def main():
     # don't clobber the previous chunk's
     ckpt = args.init
     n = 1
+    epoch_offset = 0
     while (work / f'chunk{n:02d}').exists():
+        # accumulate the epochs each chunk ACTUALLY completed (chunks can
+        # die early — OOM killer) so the sampler order / augmentation
+        # anneal / RNG stream continue instead of replaying chunk 1
+        # (each epoch loop runs epochs 0..max_epoch inclusive)
+        done = latest_checkpoint(work / f'chunk{n:02d}')
+        if done is not None:
+            epoch_offset += int(str(done).rsplit('-', 1)[1]) + 1
+        else:
+            epoch_offset += args.epochs + 1
         n += 1
     if n > 1:
         prev = latest_checkpoint(work / f'chunk{n - 1:02d}')
         if prev is not None:
             ckpt = str(prev)
     log_dir = work / f'chunk{n:02d}'
-    print(f'[phase1_chunk] chunk {n}: init from {ckpt}', flush=True)
+    print(f'[phase1_chunk] chunk {n}: init from {ckpt} '
+          f'(epoch_offset {epoch_offset})', flush=True)
 
     cfg = {
         'phase': 1, 'log_dir': str(log_dir), 'max_epoch': args.epochs,
         'batch_size': args.batch, 'samples_per_epoch': args.samples,
         'augment': True, 'seed': 0, 'speed_noise': 1.0,
+        'epoch_offset': epoch_offset,
         'ckpt': ckpt,
         'model_args': {'model': 'image_ss', 'backbone': 'resnet34'},
         'teacher_args': {'model_path': args.teacher,
