@@ -1,0 +1,84 @@
+"""On-policy DAgger for the privileged (birdview) agent — CLI.
+
+No reference counterpart (the reference trains the privileged net purely
+offline, training/train_birdview.py); this closes the traffic-recovery
+imitation gap with fork-expert labels (see train/priv_dagger.py). Loop
+shape follows train_image_phase2.py:261-300: per episode, on-policy
+collection then importance-weighted training, checkpoint per episode.
+
+Usage:
+  python -m lbc_tpu.cli.train_priv_dagger \
+      --ckpt ckpts/priv_full/priv/model-32 --log_dir ckpts/priv_dagger
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from ..data import ReplayBuffer
+from ..train import init_birdview_training, make_birdview_model
+from ..train.checkpoints import load_checkpoint, save_checkpoint
+from ..train.priv_dagger import (priv_dagger_rollout,
+                                 priv_dagger_train_episode)
+from ..utils.experiment import log, save_config
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--ckpt', required=True,
+                    help='offline birdview checkpoint to fine-tune')
+    ap.add_argument('--log_dir', required=True)
+    ap.add_argument('--backbone', default='resnet18')
+    ap.add_argument('--episodes', type=int, default=20)
+    ap.add_argument('--episode_length', type=int, default=1000)
+    ap.add_argument('--town', default='Town01')
+    ap.add_argument('--n_vehicles', type=int, default=20)
+    ap.add_argument('--n_pedestrians', type=int, default=50)
+    ap.add_argument('--n_envs', type=int, default=4)
+    ap.add_argument('--batch_size', type=int, default=256)
+    ap.add_argument('--epochs_per_episode', type=int, default=5)
+    ap.add_argument('--batches_per_epoch', type=int, default=100)
+    ap.add_argument('--capacity', type=int, default=200_000)
+    ap.add_argument('--lr', type=float, default=1e-4)
+    ap.add_argument('--seed', type=int, default=0)
+    args = ap.parse_args()
+
+    log.init(args.log_dir)
+    config = {'model_args': {'model': 'birdview_dian',
+                             'backbone': args.backbone,
+                             'input_channel': 7},
+              'agent_args': {}, 'phase': 'priv_dagger'}
+    save_config(args.log_dir, config)
+
+    model = make_birdview_model(backbone=args.backbone)
+    state, _ = init_birdview_training(jax.random.PRNGKey(args.seed),
+                                      model)
+    state = load_checkpoint(args.ckpt, state)
+
+    buffer = ReplayBuffer(capacity=args.capacity, seed=args.seed)
+    for episode in range(args.episodes):
+        variables = {'params': state.params,
+                     'batch_stats': state.batch_stats}
+        added = priv_dagger_rollout(
+            buffer, model, variables, episode,
+            episode_length=args.episode_length, town=args.town,
+            n_vehicles=args.n_vehicles,
+            n_pedestrians=args.n_pedestrians, n_envs=args.n_envs,
+            seed=args.seed)
+        log.info('episode %d: +%d frames (buffer %d)', episode, added,
+                 len(buffer))
+        state, loss = priv_dagger_train_episode(
+            buffer, model, state, lr=args.lr,
+            epochs=args.epochs_per_episode,
+            batch_size=args.batch_size,
+            batches_per_epoch=args.batches_per_epoch)
+        save_checkpoint(args.log_dir, state, episode)
+        log.info('episode %d: train loss %.4f', episode, loss)
+        print(f'episode {episode}: buffer={len(buffer)} loss={loss:.4f} '
+              f'saved model-{episode}', flush=True)
+    print('DONE', flush=True)
+
+
+if __name__ == '__main__':
+    main()

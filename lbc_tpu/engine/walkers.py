@@ -44,6 +44,7 @@ def _next_goal(key, target_idx, map_data, cross_prob=CROSS_PROB):
 def walker_step(walkers: WalkerState, map_data, ego_pos, key,
                 vehicle_pos=None, vehicle_active=None,
                 vehicle_speed=None, ego_speed=None,
+                vehicle_yaw=None, ego_yaw=None,
                 respawn_peds: bool = True) -> WalkerState:
     """One tick for all walkers of one env. `respawn_peds` (static)
     enables the stuck-teleport rule (PedestrianTracker,
@@ -55,34 +56,97 @@ def walker_step(walkers: WalkerState, map_data, ego_pos, key,
     yaw = jnp.arctan2(to_tgt[:, 1], to_tgt[:, 0])
     step = jnp.minimum(walkers.speed * DT, dist)
     dirn = to_tgt / jnp.maximum(dist, 1e-6)[:, None]
-    new_pos = pos + dirn * step[:, None]
 
-    # keep walkers on the walkable band: freeze the move if it would exit
-    px = jnp.round((new_pos - map_data.world_offset) * PIXELS_PER_METER)
+    # candidate headings: straight at the target, then sidesteps
+    # (navmesh-crowd local avoidance — CARLA walkers steer around
+    # obstacles rather than stopping dead; a walker that freezes in a
+    # car's path deadlocks against the expert's speed-scaled hazard
+    # cone, see the yield note below). First clear candidate wins;
+    # if none, stay put (stuck-teleport below is the escape hatch).
+    angles = jnp.array([0.0, 0.7854, -0.7854, 1.5708, -1.5708])
+    cosa, sina = jnp.cos(angles), jnp.sin(angles)
+    # rotate dirn by each angle: (P, K, 2)
+    cand_dir = jnp.stack(
+        [dirn[:, None, 0] * cosa[None, :] - dirn[:, None, 1] * sina[None, :],
+         dirn[:, None, 0] * sina[None, :] + dirn[:, None, 1] * cosa[None, :]],
+        axis=-1)
+    cand_pos = pos[:, None, :] + cand_dir * step[:, None, None]
+
+    # gate 1 — walkable band: reject candidates that exit it
+    px = jnp.round((cand_pos - map_data.world_offset) * PIXELS_PER_METER)
     h, w = map_data.walkable_raster.shape
-    cx = jnp.clip(px[:, 0].astype(jnp.int32), 0, w - 1)
-    cy = jnp.clip(px[:, 1].astype(jnp.int32), 0, h - 1)
-    ok = map_data.walkable_raster[cy, cx] > 0
-    new_pos = jnp.where(ok[:, None], new_pos, pos)
+    cx = jnp.clip(px[..., 0].astype(jnp.int32), 0, w - 1)
+    cy = jnp.clip(px[..., 1].astype(jnp.int32), 0, h - 1)
+    ok = map_data.walkable_raster[cy, cx] > 0          # (P, K)
 
-    # navmesh-agent-like yield: a walker stops 3 m short of a *moving*
-    # vehicle and keeps 1.8 m personal space from stopped ones (close
-    # enough to finish most crossings — a residual mutual freeze resolves
-    # via the stuck-teleport rule below, mirroring the reference's
-    # PedestrianTracker escape hatch).
+    # navmesh-agent-like yield: a walker stops 3 m short of a vehicle
+    # moving at real driving speed — and only when it is actually in that
+    # vehicle's forward path (60-degree half-cone). Two deadlock modes
+    # found by the round-3 NoCrashTown02-v3 audit make this deliberately
+    # narrow: (a) a circular yield froze walkers BESIDE slowly-turning
+    # cars, parking them just outside the expert's reference-faithful
+    # hazard cone (agent.py:184-200) where the car's swept path then
+    # clipped them; (b) yielding to a *creeping* car (ego pulling away
+    # from a hazard stop at <1.5 m/s) froze the walker in the car's path
+    # exactly while the expert's speed-scaled hazard cone was too short
+    # to see it — mutual freeze ending in a sweep collision. CARLA
+    # walkers don't yield to walking-pace traffic; at those speeds the
+    # walker clears the area faster by walking on. Stopped vehicles keep
+    # a 1.8 m personal-space circle (can't walk through a parked car);
+    # residual mutual freezes resolve via the stuck-teleport rule below
+    # (PedestrianTracker escape hatch).
     if vehicle_pos is not None:
         vp = jnp.concatenate([vehicle_pos, ego_pos[None]], axis=0)
         va = jnp.concatenate([vehicle_active, jnp.ones((1,), bool)])
         if vehicle_speed is not None:
             vs = jnp.concatenate([vehicle_speed, ego_speed[None]])
-            moving = vs > 0.5
+            moving = vs > 1.5
         else:
-            moving = jnp.ones_like(va)
-        radius = jnp.where(moving, 3.0, 1.8)
-        d2 = jnp.sum((new_pos[:, None, :] - vp[None, :, :]) ** 2, axis=-1)
-        blocked = jnp.any((d2 < radius[None, :] ** 2) & va[None, :],
-                          axis=1)
-        new_pos = jnp.where(blocked[:, None], pos, new_pos)
+            moving = jnp.ones((va.shape[0],), bool)
+        if vehicle_yaw is not None:
+            vy = jnp.concatenate([vehicle_yaw, ego_yaw[None]])
+            fwd = jnp.stack([jnp.cos(vy), jnp.sin(vy)], axis=-1)
+        else:
+            fwd = None
+        rel = cand_pos[:, :, None, :] - vp[None, None, :, :]  # (P, K, V, 2)
+        d2 = jnp.sum(rel ** 2, axis=-1)
+        near_moving = d2 < 3.0 ** 2
+        if fwd is not None:
+            along = jnp.sum(rel * fwd[None, None, :, :], axis=-1)
+            in_path = along > 0.5 * jnp.sqrt(d2)       # cos(60 deg)
+            near_moving = near_moving & in_path
+        cand_blocked = jnp.any(                        # (P, K)
+            jnp.where(moving[None, None, :], near_moving, d2 < 1.8 ** 2)
+            & va[None, None, :], axis=-1)
+
+        # road-entry caution: don't STEP ONTO the road surface while fast
+        # traffic is within 6 m — the second round-3 collision mode was a
+        # walker strolling off the curb into the rear corner of a passing
+        # car (outside every hazard cone; nothing in the expert can brake
+        # for it). Walkers already on the road (mid-crossing) are not
+        # gated — they clear the lane fastest by continuing.
+        on_road_px = jnp.round((cand_pos - map_data.world_offset)
+                               * PIXELS_PER_METER)
+        rx = jnp.clip(on_road_px[..., 0].astype(jnp.int32), 0, w - 1)
+        ry = jnp.clip(on_road_px[..., 1].astype(jnp.int32), 0, h - 1)
+        cand_on_road = map_data.road_raster[ry, rx] > 0
+        cur_px = jnp.round((pos - map_data.world_offset)
+                           * PIXELS_PER_METER)
+        cx0 = jnp.clip(cur_px[:, 0].astype(jnp.int32), 0, w - 1)
+        cy0 = jnp.clip(cur_px[:, 1].astype(jnp.int32), 0, h - 1)
+        already_on_road = map_data.road_raster[cy0, cx0] > 0
+        traffic_near = jnp.any((d2 < 6.0 ** 2) & moving[None, None, :]
+                               & va[None, None, :], axis=-1)
+        entering_danger = cand_on_road & traffic_near \
+            & ~already_on_road[:, None]
+        ok = ok & ~cand_blocked & ~entering_danger
+
+    # first clear candidate in priority order; all-blocked -> stay put
+    any_ok = jnp.any(ok, axis=1)
+    best = jnp.argmax(ok, axis=1)
+    chosen = jnp.take_along_axis(cand_pos, best[:, None, None],
+                                 axis=1)[:, 0]
+    new_pos = jnp.where(any_ok[:, None], chosen, pos)
 
     moved = jnp.linalg.norm(new_pos - pos, axis=-1) / DT
     stuck_ticks = jnp.where(moved < SPEED_THRESHOLD,

@@ -7,6 +7,8 @@ from .dagger import (dagger_rollout, dagger_train_episode,
 from .image_trainer import (init_image_training, make_image_model,
                             phase0_train_step, phase1_train_step,
                             teacher_all_branch)
+from .priv_dagger import (fork_expert_futures, priv_dagger_rollout,
+                          priv_dagger_train_episode)
 from .losses import (all_branch_location_loss, location_loss,
                      location_loss_normalized)
 from .train_state import TrainState, apply_model, create_train_state
@@ -20,4 +22,6 @@ __all__ = [
     'dagger_train_episode', 'make_dagger_agent', 'sample_weight',
     'init_image_training', 'make_image_model', 'phase0_train_step',
     'phase1_train_step', 'teacher_all_branch',
+    'fork_expert_futures', 'priv_dagger_rollout',
+    'priv_dagger_train_episode',
 ]
