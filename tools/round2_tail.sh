@@ -8,8 +8,14 @@ stamp() { echo "[tail $(date +%H:%M:%S)] $*"; }
 
 PRIV=ckpts/priv_full/priv/model-32
 PHASE1=$(python -c "
+import pathlib
 from lbc_tpu.train.checkpoints import latest_checkpoint
-print(latest_checkpoint('ckpts/image_full/phase1/chunk01'))")
+chunks = sorted(pathlib.Path('ckpts/image_full/phase1').glob('chunk*'))
+for c in reversed(chunks):
+    ck = latest_checkpoint(c)
+    if ck is not None:
+        print(ck); break
+")
 stamp "phase-1 checkpoint: $PHASE1"
 
 if [ ! -f /tmp/tail_dagger.done ]; then
