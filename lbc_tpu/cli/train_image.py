@@ -60,6 +60,20 @@ def train(config):
                       SampleConfig(include_rgb=True),
                       max_frames=config['data_args'].get('max_frames'))
 
+    if config.get('resident', False):
+        from ..train.resident import train_resident, upload_dataset
+        data = upload_dataset(ds)
+        log.info('dataset resident on device: %d frames (%d train)',
+                 data.rgb.shape[0], data.n_train)
+
+        def save_fn(st, epoch):
+            if epoch in SAVE_EPOCHS or epoch == config['max_epoch']:
+                save_checkpoint(config['log_dir'], st, epoch)
+        state, _ = train_resident(config, state, tx, model,
+                                  teacher_model, teacher_vars, data,
+                                  log=log, save_fn=save_fn)
+        return state
+
     phase = config['phase']
     # donate the incoming train state: without it every step materializes
     # a fresh ~300 MB params+optimizer pytree and the host-side mirrors
@@ -144,10 +158,15 @@ def main():
                          '(train_image_phase1.py:286 default)')
     ap.add_argument('--max_frames', type=int, default=None)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--resident', action='store_true',
+                    help='upload the dataset to HBM once and train with '
+                         'zero per-step host transfer (train/resident.py '
+                         '— the fix for the tunnel-client RSS leak)')
     args = ap.parse_args()
 
     config = {
         'phase': args.phase,
+        'resident': args.resident,
         'log_dir': args.log_dir,
         'batch_size': args.batch_size,
         'max_epoch': args.max_epoch,

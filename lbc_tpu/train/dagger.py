@@ -166,9 +166,98 @@ def make_dagger_agent_batched(student_model, student_vars, teacher_model,
             'collided': env_states.episode.collided,
             'done': env_states.episode.done,
         }
+        if isinstance(t_out, tuple):
+            # all-branch teacher waypoints: lets the device replay buffer
+            # train without storing (or re-rendering) any birdview
+            aux['teacher_branches'] = t_out[1]
         return control, DaggerAgentState(img_ctrl, bv_ctrl, key), aux
 
     return step
+
+
+def _episode_valid_mask(done_t, collided_t, episode_length):
+    """(T, B) done/collided flags -> (T, B) bool keep-mask: frames before
+    the first done, minus the last 5 before a collision
+    (train_image_phase2.py:144-145). Pure jnp — runs on device."""
+    t_axis = jnp.arange(done_t.shape[0])[:, None]
+    any_done = jnp.any(done_t, axis=0)
+    first_done = jnp.argmax(done_t.astype(jnp.int32), axis=0)
+    n = jnp.where(any_done, first_done, episode_length)
+    col = jnp.any(collided_t, axis=0)
+    n = jnp.where(col, jnp.maximum(n - 5, 0), n)
+    return t_axis < n[None, :]
+
+
+def dagger_rollout_device(buffer, student_model, student_vars,
+                          teacher_model, teacher_vars, episode: int,
+                          episode_length: int = 1000, town: str = 'Town01',
+                          n_vehicles: int = 100, n_pedestrians: int = 250,
+                          weathers=TRAIN_WEATHERS, seed: int = 0,
+                          env: DrivingEnv = None, pose_pairs=None,
+                          batched: bool = None,
+                          pallas_interpret: bool = False):
+    """dagger_rollout against a DeviceReplay: the rollout records stay on
+    device; weights, validity, and buffer insertion are all jnp. Returns
+    (buffer, frames_added:int)."""
+    from .device_replay import replay_add
+
+    if env is None:
+        env = DrivingEnv(EnvConfig(town=town, n_vehicles=n_vehicles,
+                                   n_pedestrians=n_pedestrians))
+    rng = np.random.RandomState(seed * 131 + episode)
+    n_spawn = len(env.map_np.spawn_pos)
+    states = []
+    for w in weathers:
+        if pose_pairs is not None:
+            start, target = pose_pairs[rng.randint(len(pose_pairs))]
+        else:
+            start, target = rng.randint(0, n_spawn, 2)
+        states.append(env.reset_np(seed=seed + episode, start=start,
+                                   target=target, weather=w))
+    batch = stack_states(states)
+    if n_vehicles or n_pedestrians:
+        batch = env.warmup(batch, ticks=50)
+
+    if batched is None:
+        batched = jax.default_backend() == 'tpu'
+    if batched:
+        agent_step = make_dagger_agent_batched(
+            student_model, student_vars, teacher_model, teacher_vars,
+            episode, interpret=pallas_interpret)
+    else:
+        agent_step = make_dagger_agent(student_model, student_vars,
+                                       teacher_model, teacher_vars,
+                                       episode)
+    agents = jax.tree.map(
+        lambda *x: jnp.stack(x),
+        *[dagger_agent_init(seed * 733 + episode * 17 + i)
+          for i in range(len(states))])
+
+    def collect(env_state, obs, control, aux):
+        keep = {k: v for k, v in aux.items() if k != 'bev_packed'}
+        return keep
+    collect.batched = batched
+
+    rollout = make_rollout(env, agent_step, episode_length,
+                           collect=collect, batched_agent=batched)
+    final, _, metrics, recs = rollout(batch, agents)
+    assert 'teacher_branches' in recs, \
+        'device replay needs an all_branch teacher'
+
+    err = jnp.abs(recs['student_locs_bev'] - recs['teacher_locs'])
+    weights = jnp.mean(jnp.sum(err * jnp.asarray(XY_BIAS), -1)
+                       * jnp.asarray(DECAY), -1)              # (T, B)
+    valid = _episode_valid_mask(recs['done'], recs['collided'],
+                                episode_length)
+
+    def flat(x):
+        return x.reshape((-1,) + x.shape[2:])
+
+    buffer = replay_add(buffer, flat(recs['rgb']),
+                        flat(recs['teacher_branches']),
+                        flat(recs['command']).astype(jnp.int32),
+                        flat(recs['speed']), flat(weights), flat(valid))
+    return buffer, int(jnp.sum(valid))
 
 
 def dagger_rollout(buffer: ReplayBuffer, student_model, student_vars,
@@ -244,6 +333,74 @@ def dagger_rollout(buffer: ReplayBuffer, student_model, student_vars,
                 teacher_locs=teacher_locs[t, b])
             added += 1
     return added
+
+
+def dagger_train_episode_device(buffer, student_model,
+                                student_state: TrainState, lr=1e-4,
+                                epochs: int = 5, batch_size: int = 64,
+                                batches_per_epoch: int = 100,
+                                seed: int = 0):
+    """dagger_train_episode against a DeviceReplay: importance sampling,
+    gather, student update and weight refresh all inside ONE jitted step
+    — zero per-step host traffic (the stored all-branch teacher waypoints
+    replace the reference's per-batch frozen-teacher forward,
+    train_image_phase2.py:192-199). Returns (buffer, state)."""
+    from .device_replay import (replay_normalize, replay_sample_idx,
+                                replay_update_weights)
+
+    tx = optax.adam(lr)
+
+    def train_step(state, buf, key):
+        idx = replay_sample_idx(buf, key, batch_size)
+        rgb = jnp.take(buf.rgb, idx, axis=0).astype(jnp.float32) / 255.0
+        t_branches = jnp.take(buf.teacher_branches, idx, axis=0)
+        cmd_i = jnp.take(buf.command, idx, axis=0)
+        speed = jnp.take(buf.speed, idx, axis=0)
+        cmd = one_hot_command(cmd_i)
+
+        def loss_fn(params):
+            variables = {'params': params,
+                         'batch_stats': state.batch_stats}
+            (sel, branches), mut = student_model.apply(
+                variables, rgb, speed, cmd, train=True,
+                mutable=['batch_stats'])
+            pred_bev = image_to_bev(branches)
+            per_sample = jnp.mean(jnp.abs(pred_bev - t_branches),
+                                  axis=(1, 2, 3))
+            sel_bev = image_to_bev(sel)
+            t_sel = jnp.einsum('bkso,bk->bso', t_branches,
+                               cmd.astype(t_branches.dtype))
+            err = jnp.abs(sel_bev - t_sel)
+            new_w = jnp.mean(jnp.sum(err * jnp.asarray(XY_BIAS), -1)
+                             * jnp.asarray(DECAY), -1)
+            return jnp.mean(per_sample), (mut['batch_stats'], new_w)
+
+        (loss, (stats, new_w)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        buf = replay_update_weights(buf, idx, new_w)
+        return (TrainState(state.step + 1, params, stats, opt), buf,
+                loss)
+
+    # donate state + buffer (we own both; the incoming state is copied
+    # first because its params typically alias the rollout's student_vars
+    # — the round-2 use-after-donate lesson)
+    jit_step = jax.jit(train_step, donate_argnums=(0, 1))
+    state = jax.tree.map(jnp.copy, student_state)
+    key = jax.random.PRNGKey(seed * 9173 + 55)
+    losses = []
+    for _ in range(epochs):
+        # "fresh Adam each epoch" (train_image_phase2.py:162-164) = reset
+        # optimizer state; adam(lr) itself is a pure transformation
+        state = state._replace(opt_state=tx.init(state.params))
+        buffer = replay_normalize(buffer)
+        for _ in range(batches_per_epoch):
+            key, k = jax.random.split(key)
+            state, buffer, loss = jit_step(state, buffer, k)
+            losses.append(loss)
+    mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else -1.0
+    return buffer, state, mean_loss
 
 
 def dagger_train_episode(buffer: ReplayBuffer, student_model,

@@ -94,3 +94,79 @@ def test_sample_weight_shape_and_order():
     w_far = sample_weight(s_far, t)
     assert w_close.shape == (10,)
     assert np.all(w_far > w_close)
+
+
+# ---------------------------------------------------------------------------
+# Device-resident training (train/resident.py)
+
+def _fake_rgb_dataset(tmp_path, n_eps=3, n=40):
+    from lbc_tpu.data.episode_store import write_episode
+    rng = np.random.RandomState(7)
+    for e in range(n_eps):
+        meas = np.zeros((n, 17), np.float32)
+        for i in range(n):
+            meas[i, 0] = 4.0 * 0.1 * i
+            meas[i, 1] = 30.0 + e
+            meas[i, 3] = 1.0
+            meas[i, 5] = 4.0
+            meas[i, 11] = 1 + (i % 4)
+        bv = (rng.rand(n, 320, 320, 7) > 0.95).astype(np.float32)
+        rgb = rng.randint(0, 255, (n, 160, 384, 3), np.uint8)
+        write_episode(tmp_path / f'ep{e}', birdview=bv,
+                      measurements=meas, control=np.zeros((n, 3),
+                                                          np.float32),
+                      rgb=rgb)
+    from lbc_tpu.data import FrameDataset, SampleConfig
+    return FrameDataset(tmp_path, SampleConfig(include_rgb=True))
+
+
+def test_resident_upload_matches_sampler(tmp_path):
+    from lbc_tpu.train.resident import upload_dataset
+    ds = _fake_rgb_dataset(tmp_path)
+    data = upload_dataset(ds, val_episodes=1, chunk_frames=16)
+    assert data.rgb.shape[0] == len(ds.index)
+    # last episode held out for validation
+    usable = len(ds.index) // 3
+    assert data.n_train == 2 * usable
+
+    from lbc_tpu.data.episode_store import unpack_birdview
+    rng = np.random.RandomState(0)
+    for idx in [0, usable + 3, len(ds.index) - 1]:
+        ref = ds.get_image_sample(idx, rng)
+        np.testing.assert_array_equal(
+            np.asarray(data.rgb[idx]),
+            (ref['rgb'] * 255).astype(np.uint8))
+        np.testing.assert_array_equal(
+            unpack_birdview(np.asarray(data.bev_crop_packed[idx])),
+            ref['birdview'])
+        assert int(data.command[idx]) == ref['command']
+        assert float(data.speed[idx]) == pytest.approx(ref['speed'])
+
+
+def test_resident_steps_run_and_learn(tmp_path, nets):
+    from lbc_tpu.train.resident import (make_resident_step,
+                                        make_resident_val_step,
+                                        upload_dataset)
+    from lbc_tpu.data.augment import schedule_params
+    teacher, t_vars, student, s_state, tx = nets
+    ds = _fake_rgb_dataset(tmp_path, n_eps=2, n=40)
+    data = upload_dataset(ds, val_episodes=1, chunk_frames=16)
+
+    for phase in (0, 1):
+        step = make_resident_step(student, tx, teacher, t_vars, phase,
+                                  batch_size=4, speed_noise=1.0,
+                                  augment=(phase == 1))
+        state = jax.tree.map(jnp.copy, s_state)
+        params = schedule_params('super_hard', 0)
+        losses = []
+        for i in range(3):
+            state, loss = step(state, data,
+                               jax.random.PRNGKey(i), params)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert int(state.step) == int(s_state.step) + 3
+
+        val = make_resident_val_step(student, teacher, t_vars, phase,
+                                     batch_size=4)
+        v = float(val(state, data, data.n_train))
+        assert np.isfinite(v)
