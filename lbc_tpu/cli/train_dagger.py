@@ -40,7 +40,19 @@ def main():
     ap.add_argument('--capacity', type=int, default=200_000)
     ap.add_argument('--lr', type=float, default=1e-4)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--device-buffer', dest='device_buffer',
+                    action='store_true', default=None,
+                    help='HBM-resident replay (default on TPU): zero '
+                         'per-step host traffic, flat RSS '
+                         '(train/device_replay.py)')
+    ap.add_argument('--host-buffer', dest='device_buffer',
+                    action='store_false')
+    ap.add_argument('--audit-k', type=int, default=16,
+                    help='top-k worst replay samples saved per episode '
+                         '(train_image_phase2.py:231-252)')
     args = ap.parse_args()
+    if args.device_buffer is None:
+        args.device_buffer = jax.default_backend() == 'tpu'
 
     log.init(args.log_dir)
     config = {'model_args': {'model': 'image_ss',
@@ -56,6 +68,41 @@ def main():
     state, _ = init_image_training(jax.random.PRNGKey(args.seed),
                                    student_model)
     state = load_checkpoint(args.ckpt, state)
+
+    if args.device_buffer:
+        from ..train import (dagger_rollout_device,
+                             dagger_train_episode_device)
+        from ..train.device_replay import replay_init
+        from ..utils.audit import save_replay_audit
+        # capacity bounded by HBM: frames are ~186 KB each as uint8
+        cap = min(args.capacity,
+                  args.episodes * args.episode_length * 4 + 4000)
+        buffer = replay_init(cap)
+        for episode in range(args.episodes):
+            svars = {'params': state.params,
+                     'batch_stats': state.batch_stats}
+            buffer, added = dagger_rollout_device(
+                buffer, student_model, svars, teacher_model,
+                teacher_vars, episode,
+                episode_length=args.episode_length,
+                n_vehicles=args.n_vehicles,
+                n_pedestrians=args.n_pedestrians, seed=args.seed)
+            log.info('episode %d: +%d frames (buffer %d)', episode,
+                     added, int(buffer.size))
+            buffer, state, loss = dagger_train_episode_device(
+                buffer, student_model, state, lr=args.lr,
+                epochs=args.epochs_per_episode,
+                batch_size=args.batch_size,
+                batches_per_epoch=args.batches_per_epoch,
+                seed=args.seed)
+            save_checkpoint(args.log_dir, state, episode)
+            if args.audit_k:
+                save_replay_audit(args.log_dir, buffer, episode,
+                                  k=args.audit_k)
+            log.info('episode %d: train loss %.4f', episode, loss)
+            print(f'episode {episode}: buffer={int(buffer.size)} '
+                  f'loss={loss:.4f} saved model-{episode}', flush=True)
+        return
 
     buffer = ReplayBuffer(capacity=args.capacity, seed=args.seed)
     for episode in range(args.episodes):

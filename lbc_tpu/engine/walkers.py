@@ -110,14 +110,29 @@ def walker_step(walkers: WalkerState, map_data, ego_pos, key,
             fwd = None
         rel = cand_pos[:, :, None, :] - vp[None, None, :, :]  # (P, K, V, 2)
         d2 = jnp.sum(rel ** 2, axis=-1)
-        near_moving = d2 < 3.0 ** 2
+        # body clearance: candidate inside the vehicle's OBB inflated by
+        # the walker radius + margin is blocked for EVERY vehicle, moving
+        # or not. (A 1.8 m center-circle missed the bbox corners — the
+        # body half-diagonal is 2.55 m — so walkers could legally stand
+        # inside a stopped car's footprint-to-be and get swept when it
+        # pulled away: the round-3 Town01 s162-t139 audit.)
         if fwd is not None:
-            along = jnp.sum(rel * fwd[None, None, :, :], axis=-1)
-            in_path = along > 0.5 * jnp.sqrt(d2)       # cos(60 deg)
-            near_moving = near_moving & in_path
-        cand_blocked = jnp.any(                        # (P, K)
-            jnp.where(moving[None, None, :], near_moving, d2 < 1.8 ** 2)
-            & va[None, None, :], axis=-1)
+            from ..constants import EGO_EXTENT_X, EGO_EXTENT_Y
+            lat = jnp.stack([-fwd[:, 1], fwd[:, 0]], axis=-1)
+            fx = jnp.sum(rel * fwd[None, None, :, :], axis=-1)
+            fy = jnp.sum(rel * lat[None, None, :, :], axis=-1)
+            margin = 0.7                     # walker radius + safety
+            inside = (jnp.abs(fx) < EGO_EXTENT_X + margin) \
+                & (jnp.abs(fy) < EGO_EXTENT_Y + margin)
+            # moving vehicles also block their forward path (3 m, 60 deg)
+            along = fx
+            in_path = (d2 < 3.0 ** 2) \
+                & (along > 0.5 * jnp.sqrt(jnp.maximum(d2, 1e-9)))
+            blocked_v = inside | (moving[None, None, :] & in_path)
+        else:
+            blocked_v = jnp.where(moving[None, None, :], d2 < 3.0 ** 2,
+                                  d2 < 1.8 ** 2)
+        cand_blocked = jnp.any(blocked_v & va[None, None, :], axis=-1)
 
         # road-entry caution: don't STEP ONTO the road surface while fast
         # traffic is within 6 m — the second round-3 collision mode was a

@@ -101,6 +101,8 @@ def make_dagger_agent(student_model, student_vars, teacher_model,
             'collided': env_state.episode.collided,
             'done': env_state.episode.done,
         }
+        if isinstance(t_out, tuple):
+            aux['teacher_branches'] = t_out[1][0]
         return control, DaggerAgentState(img_ctrl, bv_ctrl, key), aux
 
     return step
@@ -253,10 +255,13 @@ def dagger_rollout_device(buffer, student_model, student_vars,
     def flat(x):
         return x.reshape((-1,) + x.shape[2:])
 
-    buffer = replay_add(buffer, flat(recs['rgb']),
-                        flat(recs['teacher_branches']),
-                        flat(recs['command']).astype(jnp.int32),
-                        flat(recs['speed']), flat(weights), flat(valid))
+    buffer = replay_add(
+        buffer,
+        {'rgb': flat(recs['rgb']),
+         'teacher_branches': flat(recs['teacher_branches']),
+         'command': flat(recs['command']).astype(jnp.int32),
+         'speed': flat(recs['speed'])},
+        flat(weights), flat(valid))
     return buffer, int(jnp.sum(valid))
 
 

@@ -11,6 +11,11 @@ train phase transfer-free — per host->device transfer the tunneled TPU
 client leaks ~2.3x the bytes moved (tools/leak_repro.py), which is what
 OOM-killed round-2's host-buffer DAgger at scale.
 
+The buffer is generic over its per-frame fields (a dict of arrays), so the
+same eviction/sampling machinery backs both the image DAgger (rgb +
+teacher branches; IMAGE_SPECS) and the privileged fork-expert DAgger
+(packed BEV + label pixels; train/priv_dagger.py).
+
 Semantics preserved:
 * add: always insert; when full, evict the lowest-weight entries
   (phase2_utils.py:256-265 — batched: the M new frames overwrite the M
@@ -23,44 +28,64 @@ Semantics preserved:
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
+# field name -> (per-frame shape, dtype)
+IMAGE_SPECS = {
+    'rgb': ((160, 384, 3), jnp.uint8),
+    'teacher_branches': ((4, 5, 2), jnp.float32),  # [-1,1] BEV coords
+    'command': ((), jnp.int32),
+    'speed': ((), jnp.float32),
+}
+
 
 class DeviceReplay(NamedTuple):
-    rgb: jnp.ndarray               # (C, 160, 384, 3) uint8
-    teacher_branches: jnp.ndarray  # (C, 4, 5, 2) f32, [-1,1] BEV coords
-    command: jnp.ndarray           # (C,) int32
-    speed: jnp.ndarray             # (C,) float32
+    fields: Any                    # dict name -> (C, ...) array
     weight: jnp.ndarray            # (C,) float32 (sampling weights)
     new_weight: jnp.ndarray        # (C,) float32 (staged refresh)
     size: jnp.ndarray              # () int32
 
+    # image-path conveniences (pytree flattening only sees the 4 slots)
+    @property
+    def rgb(self):
+        return self.fields['rgb']
 
-def replay_init(capacity: int) -> DeviceReplay:
+    @property
+    def teacher_branches(self):
+        return self.fields['teacher_branches']
+
+    @property
+    def command(self):
+        return self.fields['command']
+
+    @property
+    def speed(self):
+        return self.fields['speed']
+
+
+def replay_init(capacity: int, specs=None) -> DeviceReplay:
+    specs = IMAGE_SPECS if specs is None else specs
     return DeviceReplay(
-        rgb=jnp.zeros((capacity, 160, 384, 3), jnp.uint8),
-        teacher_branches=jnp.zeros((capacity, 4, 5, 2), jnp.float32),
-        command=jnp.zeros((capacity,), jnp.int32),
-        speed=jnp.zeros((capacity,), jnp.float32),
+        fields={k: jnp.zeros((capacity,) + shape, dtype)
+                for k, (shape, dtype) in specs.items()},
         weight=jnp.zeros((capacity,), jnp.float32),
         new_weight=jnp.zeros((capacity,), jnp.float32),
         size=jnp.zeros((), jnp.int32))
 
 
 @partial(jax.jit, donate_argnums=(0,))
-def replay_add(buf: DeviceReplay, rgb, teacher_branches, command, speed,
-               weight, valid) -> DeviceReplay:
+def replay_add(buf: DeviceReplay, fields, weight, valid) -> DeviceReplay:
     """Insert M frames (invalid ones dropped). All args device arrays;
-    rgb uint8 (M,160,384,3), valid bool (M,).
+    `fields` a dict matching buf.fields with leading dim M, valid bool (M,).
 
     Slot assignment: empty slots first (ascending index), then occupied
     slots by ascending weight — i.e. the reference's evict-lowest rule,
     batched. Invalid frames scatter out of bounds with mode='drop'.
     """
-    cap = buf.rgb.shape[0]
+    cap = buf.weight.shape[0]
     m = valid.shape[0]
     # rank the new frames: valid ones first, keeping rollout order
     order = jnp.argsort(jnp.where(valid, 0, 1), stable=True)
@@ -80,15 +105,11 @@ def replay_add(buf: DeviceReplay, rgb, teacher_branches, command, speed,
     def scatter(dst, src):
         return dst.at[slots].set(src[order], mode='drop')
 
-    new = DeviceReplay(
-        rgb=scatter(buf.rgb, rgb),
-        teacher_branches=scatter(buf.teacher_branches, teacher_branches),
-        command=scatter(buf.command, command),
-        speed=scatter(buf.speed, speed),
+    return DeviceReplay(
+        fields={k: scatter(buf.fields[k], fields[k]) for k in buf.fields},
         weight=scatter(buf.weight, weight),
         new_weight=scatter(buf.new_weight, weight),
         size=jnp.minimum(buf.size + n_valid, cap))
-    return new
 
 
 def replay_sample_idx(buf: DeviceReplay, key, batch_size: int):
@@ -111,15 +132,17 @@ def replay_update_weights(buf: DeviceReplay, idx, losses) -> DeviceReplay:
 
 
 def replay_normalize(buf: DeviceReplay) -> DeviceReplay:
-    """Promote staged weights (phase2_utils.py:250-254)."""
-    return buf._replace(weight=buf.new_weight)
+    """Promote staged weights (phase2_utils.py:250-254). Copies so
+    weight/new_weight never alias — a donating train step would otherwise
+    donate the same buffer twice."""
+    return buf._replace(weight=jnp.copy(buf.new_weight))
 
 
 def replay_top_k(buf: DeviceReplay, k: int):
     """Highest-weight frames for the visual audit
-    (phase2_utils.py:273-289 / train_image_phase2.py:231-252)."""
+    (phase2_utils.py:273-289 / train_image_phase2.py:231-252).
+    Returns (fields_at_topk: dict, weight (k,))."""
     cap = buf.weight.shape[0]
     w = jnp.where(jnp.arange(cap) < buf.size, buf.weight, -jnp.inf)
     _, idx = jax.lax.top_k(w, k)
-    return (buf.rgb[idx], buf.teacher_branches[idx], buf.command[idx],
-            buf.speed[idx], buf.weight[idx])
+    return {key: v[idx] for key, v in buf.fields.items()}, buf.weight[idx]
