@@ -42,7 +42,15 @@ def main():
     ap.add_argument('--capacity', type=int, default=200_000)
     ap.add_argument('--lr', type=float, default=1e-4)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--device-buffer', dest='device_buffer',
+                    action='store_true', default=None,
+                    help='HBM-resident replay (default on TPU): zero '
+                         'per-step host traffic, flat RSS')
+    ap.add_argument('--host-buffer', dest='device_buffer',
+                    action='store_false')
     args = ap.parse_args()
+    if args.device_buffer is None:
+        args.device_buffer = jax.default_backend() == 'tpu'
 
     log.init(args.log_dir)
     config = {'model_args': {'model': 'birdview_dian',
@@ -55,6 +63,40 @@ def main():
     state, _ = init_birdview_training(jax.random.PRNGKey(args.seed),
                                       model)
     state = load_checkpoint(args.ckpt, state)
+
+    if args.device_buffer:
+        from ..train.device_replay import replay_init
+        from ..train.priv_dagger import (PRIV_SPECS,
+                                         priv_dagger_rollout_device,
+                                         priv_dagger_train_episode_device)
+        # packed crops are 36 KB/frame; bound capacity by actual intake
+        cap = min(args.capacity,
+                  args.episodes * args.episode_length * args.n_envs
+                  + 4000)
+        buffer = replay_init(cap, specs=PRIV_SPECS)
+        for episode in range(args.episodes):
+            variables = {'params': state.params,
+                         'batch_stats': state.batch_stats}
+            buffer, added = priv_dagger_rollout_device(
+                buffer, model, variables, episode,
+                episode_length=args.episode_length, town=args.town,
+                n_vehicles=args.n_vehicles,
+                n_pedestrians=args.n_pedestrians, n_envs=args.n_envs,
+                seed=args.seed)
+            log.info('episode %d: +%d frames (buffer %d)', episode,
+                     added, int(buffer.size))
+            buffer, state, loss = priv_dagger_train_episode_device(
+                buffer, model, state, lr=args.lr,
+                epochs=args.epochs_per_episode,
+                batch_size=args.batch_size,
+                batches_per_epoch=args.batches_per_epoch,
+                seed=args.seed)
+            save_checkpoint(args.log_dir, state, episode)
+            log.info('episode %d: train loss %.4f', episode, loss)
+            print(f'episode {episode}: buffer={int(buffer.size)} '
+                  f'loss={loss:.4f} saved model-{episode}', flush=True)
+        print('DONE', flush=True)
+        return
 
     buffer = ReplayBuffer(capacity=args.capacity, seed=args.seed)
     for episode in range(args.episodes):

@@ -270,6 +270,157 @@ def priv_dagger_rollout(buffer: ReplayBuffer, model, variables,
     return added
 
 
+# per-frame field specs for the device-resident buffer (train/device_replay)
+PRIV_SPECS = {
+    'bev_packed': ((CROP_SIZE, CROP_SIZE), jnp.uint8),
+    'command': ((), jnp.int32),
+    'speed': ((), jnp.float32),
+    'location_px': ((STEPS, 2), jnp.float32),
+}
+
+
+def priv_dagger_rollout_device(buffer, model, variables, episode: int,
+                               episode_length: int = 1000,
+                               town: str = 'Town01', n_vehicles: int = 20,
+                               n_pedestrians: int = 50, n_envs: int = 4,
+                               seed: int = 0, env: DrivingEnv = None,
+                               pose_pairs=None, beta: float = 0.95,
+                               interpret: bool = None, weathers=None):
+    """priv_dagger_rollout against a DeviceReplay (specs=PRIV_SPECS):
+    fork-expert labeling, importance weights, validity trimming and buffer
+    insertion all stay on device — zero per-frame host traffic (the
+    tunneled client leaks ~2.3x every host->device byte,
+    tools/leak_repro.py). Returns (buffer, frames_added:int)."""
+    from .dagger import _episode_valid_mask
+    from .device_replay import replay_add
+
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    if env is None:
+        env = DrivingEnv(EnvConfig(town=town, n_vehicles=n_vehicles,
+                                   n_pedestrians=n_pedestrians))
+    rng = np.random.RandomState(seed * 131 + episode)
+    n_spawn = len(env.map_np.spawn_pos)
+
+    states = []
+    for i in range(n_envs):
+        if pose_pairs is not None:
+            start, target = pose_pairs[rng.randint(len(pose_pairs))]
+        else:
+            start, target = rng.randint(0, n_spawn, 2)
+        w = weathers[i % len(weathers)] if weathers else 1
+        states.append(env.reset_np(seed=seed + episode * 31 + i,
+                                   start=int(start), target=int(target),
+                                   weather=int(w)))
+    batch = stack_states(states)
+    if n_vehicles or n_pedestrians:
+        batch = env.warmup(batch, ticks=50)
+
+    agent_step = make_priv_dagger_agent_batched(
+        model, variables, episode, beta=beta, interpret=interpret)
+    agents = jax.tree.map(
+        lambda *x: jnp.stack(x),
+        *[priv_dagger_agent_init(seed * 733 + episode * 17 + i)
+          for i in range(n_envs)])
+
+    def collect(env_state, obs, control, aux):
+        rec = dict(aux)
+        rec['state'] = env_state
+        return rec
+    collect.batched = True
+
+    rollout = make_rollout(env, agent_step, episode_length,
+                           collect=collect, batched_agent=True)
+    final, _, metrics, recs = rollout(batch, agents)
+
+    # ---- fork-expert labels for every visited (t, b) state, on device --
+    T, B = recs['done'].shape
+    flat_states = jax.tree.map(
+        lambda x: x.reshape((T * B,) + x.shape[2:]), recs['state'])
+    futures = fork_expert_futures(env, flat_states)          # (T*B, 5, 2)
+    ego_pos = recs['state'].ego.pos.reshape(T * B, 2)
+    ego_yaw = recs['state'].ego.yaw.reshape(T * B)
+    label_px = future_to_crop_px(futures, ego_pos, ego_yaw)  # (T*B, 5, 2)
+
+    label_norm = label_px / (CROP_SIZE / 2.0) - 1.0
+    student = recs['student_locs'].reshape(T * B, STEPS, 2)
+    err = jnp.abs(student - label_norm)
+    weights = jnp.mean(jnp.sum(err * jnp.asarray(XY_BIAS), -1)
+                       * jnp.asarray(DECAY), -1)             # (T*B,)
+    valid = _episode_valid_mask(recs['done'], recs['collided'],
+                                episode_length).reshape(T * B)
+
+    buffer = replay_add(
+        buffer,
+        {'bev_packed': recs['bev_packed'].reshape(
+            (T * B, CROP_SIZE, CROP_SIZE)),
+         'command': recs['command'].reshape(T * B).astype(jnp.int32),
+         'speed': recs['speed'].reshape(T * B),
+         'location_px': label_px.astype(jnp.float32)},
+        weights, valid)
+    return buffer, int(jnp.sum(valid))
+
+
+def priv_dagger_train_episode_device(buffer, model, state: TrainState,
+                                     lr=1e-4, epochs: int = 5,
+                                     batch_size: int = 256,
+                                     batches_per_epoch: int = 100,
+                                     seed: int = 0):
+    """priv_dagger_train_episode against a DeviceReplay: importance
+    sampling, gather, unpack, update and weight refresh in ONE jitted
+    step (phase-2 loop shape, train_image_phase2.py:152-258). Returns
+    (buffer, state, mean_loss)."""
+    from ..data.episode_store import unpack_birdview_jnp
+    from .device_replay import (replay_normalize, replay_sample_idx,
+                                replay_update_weights)
+
+    tx = optax.adam(lr)
+
+    def train_step(st, buf, key):
+        idx = replay_sample_idx(buf, key, batch_size)
+        bv = unpack_birdview_jnp(jnp.take(buf.fields['bev_packed'], idx,
+                                          axis=0))
+        cmd = one_hot_command(jnp.take(buf.fields['command'], idx, axis=0))
+        speed = jnp.take(buf.fields['speed'], idx, axis=0)
+        target_px = jnp.take(buf.fields['location_px'], idx, axis=0)
+
+        def loss_fn(params):
+            variables = {'params': params, 'batch_stats': st.batch_stats}
+            pred, mut = model.apply(variables, bv, speed, cmd,
+                                    train=True, mutable=['batch_stats'])
+            if isinstance(pred, tuple):
+                pred = pred[0]
+            per_sample = location_loss(pred, target_px)
+            t_norm = target_px / (CROP_SIZE / 2.0) - 1.0
+            err = jnp.abs(pred - t_norm)
+            new_w = jnp.mean(jnp.sum(err * jnp.asarray(XY_BIAS), -1)
+                             * jnp.asarray(DECAY), -1)
+            return jnp.mean(per_sample), (mut['batch_stats'], new_w)
+
+        (loss, (stats, new_w)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(st.params)
+        updates, opt = tx.update(grads, st.opt_state, st.params)
+        params = optax.apply_updates(st.params, updates)
+        buf = replay_update_weights(buf, idx, new_w)
+        return TrainState(st.step + 1, params, stats, opt), buf, loss
+
+    # donate state + buffer; copy the incoming state first (its params
+    # typically alias the rollout's variables — use-after-donate lesson)
+    jit_step = jax.jit(train_step, donate_argnums=(0, 1))
+    state = jax.tree.map(jnp.copy, state)
+    key = jax.random.PRNGKey(seed * 9173 + 77)
+    losses = []
+    for _ in range(epochs):
+        state = state._replace(opt_state=tx.init(state.params))
+        buffer = replay_normalize(buffer)
+        for _ in range(batches_per_epoch):
+            key, k = jax.random.split(key)
+            state, buffer, loss = jit_step(state, buffer, k)
+            losses.append(loss)
+    mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else -1.0
+    return buffer, state, mean_loss
+
+
 def priv_dagger_train_episode(buffer: ReplayBuffer, model,
                               state: TrainState, lr=1e-4,
                               epochs: int = 5, batch_size: int = 256,

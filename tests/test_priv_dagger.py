@@ -112,3 +112,40 @@ def test_priv_dagger_end_to_end_small():
     # regression guard, mirrors round-2 dagger bug)
     assert np.isfinite(
         np.asarray(jax.tree_util.tree_leaves(state.params)[0])).all()
+
+
+def test_priv_dagger_device_matches_host():
+    """Device-resident path (priv_dagger_rollout_device) stores the same
+    weights/labels/frame-count as the host path, and trains."""
+    from lbc_tpu.train.device_replay import replay_init
+    from lbc_tpu.train.priv_dagger import (PRIV_SPECS,
+                                           priv_dagger_rollout_device,
+                                           priv_dagger_train_episode_device)
+
+    model = make_birdview_model()
+    state, _ = init_birdview_training(jax.random.PRNGKey(0), model)
+    variables = {'params': state.params,
+                 'batch_stats': state.batch_stats}
+
+    kw = dict(episode=0, episode_length=25, n_vehicles=2,
+              n_pedestrians=2, n_envs=2, seed=0, pose_pairs=[(35, 39)])
+    host = ReplayBuffer(capacity=5000, seed=0)
+    n_h = priv_dagger_rollout(host, model, variables, **kw)
+    dev = replay_init(5000, specs=PRIV_SPECS)
+    dev, n_d = priv_dagger_rollout_device(dev, model, variables, **kw)
+    assert n_h == n_d == int(dev.size)
+
+    hw = np.sort(np.asarray(host._weights[:n_h]))
+    dw = np.sort(np.asarray(dev.weight[:n_d]))
+    np.testing.assert_allclose(hw, dw, atol=1e-5)
+    hl = np.sort(np.stack(host._fields['location_px']).ravel())
+    dl = np.sort(np.asarray(dev.fields['location_px'][:n_d]).ravel())
+    np.testing.assert_allclose(hl, dl, atol=1e-3)
+
+    dev, state2, loss = priv_dagger_train_episode_device(
+        dev, model, state, epochs=1, batch_size=4, batches_per_epoch=2)
+    assert np.isfinite(loss)
+    assert int(state2.step) == 2
+    # incoming state survives (use-after-donate guard)
+    assert np.isfinite(
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0])).all()
