@@ -17,6 +17,7 @@ from ..constants import (DT, EXPERT_TARGET_SPEED, EXPERT_TURN_SPEED_FACTOR)
 from .dynamics import DEFAULT_DYNAMICS, bicycle_step
 from .hazards import (red_light_hazard, walker_hazard, within_distance_ahead,
                       yaw_difference_deg)
+from .routing import nearest_waypoint
 from .state import NPCVehicleState
 
 NPC_REACH = 2.0        # m: advance to the next lattice waypoint
@@ -30,6 +31,13 @@ NPC_PROXIMITY = 7.5
 # stopped cross traffic inside a junction blocks inside this radius;
 # must exceed the 4.7 m nose-to-tail contact distance
 NPC_IMMINENT = 5.8
+# junction-entry gate (anti-gridlock, "don't block the box"): hold at the
+# junction boundary while stopped traffic sits inside it or it is at
+# vehicle capacity. CARLA's server autopilot sequences junction entry
+# the same way; the round-2 CoRL Nav-Dynamic timeouts were all queue
+# spillback from junctions that vehicles entered and then blocked.
+NPC_JUNCTION_CAP = 4
+NPC_ENTRY_HOLD = 4.5   # m from the last road waypoint to start holding
 
 
 def _hash01(a, b, c):
@@ -53,7 +61,26 @@ def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
 
     pos, yaw, speed, wp = npc.pos, npc.yaw, npc.speed, npc.wp
 
+    # --- junction congestion (anti-gridlock entry gate) ---
+    # occupancy from the pre-advance target waypoints; the ego occupies
+    # its nearest waypoint's junction too (a stopped learned agent inside
+    # a junction must hold NPCs out exactly like a stopped NPC would)
+    wpj = map_data.wp_junction
+    n_j = map_data.junction_n_phases.shape[0]
+    cur_j = wpj[wp]
+    inside = (cur_j >= 0) & npc.active
+    stopped_npc = speed < 0.3
+    ego_j = wpj[nearest_waypoint(map_data.grid_idx, map_data.world_offset,
+                                 ego_pos)]
+    occ = jnp.zeros((n_j,), jnp.int32).at[
+        jnp.where(inside, cur_j, n_j)].add(1, mode='drop')
+    occ = occ.at[jnp.where(ego_j >= 0, ego_j, n_j)].add(1, mode='drop')
+    occ_stopped = jnp.zeros((n_j,), jnp.int32).at[
+        jnp.where(inside & stopped_npc, cur_j, n_j)].add(1, mode='drop')
+    congested = (occ_stopped > 0) | (occ >= NPC_JUNCTION_CAP)
+
     # --- waypoint advance (up to 2 per tick; lattice spacing 1 m) ---
+    entry_hold = jnp.zeros(wp.shape[0], bool)
     for _ in range(2):
         d = jnp.linalg.norm(wp_pos[wp] - pos, axis=-1)
         u = _hash01(seed.astype(jnp.uint32), jnp.arange(wp.shape[0],
@@ -63,7 +90,12 @@ def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
                            n_next - 1)
         nxt = jnp.take_along_axis(wp_next[wp], pick[:, None], axis=1)[:, 0]
         nxt = jnp.where(nxt < 0, wp, nxt)
-        wp = jnp.where(d < NPC_REACH, nxt, wp)
+        # hold at the boundary instead of advancing into a congested
+        # junction; the gate clears as soon as traffic inside moves
+        entering = (wpj[wp] < 0) & (wpj[nxt] >= 0)
+        blocked = entering & congested[jnp.maximum(wpj[nxt], 0)]
+        wp = jnp.where((d < NPC_REACH) & ~blocked, nxt, wp)
+        entry_hold = entry_hold | (blocked & (d < NPC_ENTRY_HOLD))
 
     # --- steering: proportional heading error to the target waypoint ---
     to_tgt = wp_pos[wp] - pos
@@ -95,7 +127,16 @@ def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
         # suites forever, but we must never drive through a stopped car.
         imminent = within_distance_ahead(all_pos, p, y, NPC_IMMINENT, 60.0)
         cone = jnp.where(my_in_junction & all_stopped, imminent, ahead)
-        veh = jnp.any(same_dir & cone & others)
+        # true head-on blockers (wrong-lane or opposed-connector traffic)
+        # are excluded by the 150-deg same_dir gate (which exists so the
+        # adjacent oncoming lane doesn't trip the 45-deg cone) — block on
+        # them only inside a narrow dead-ahead corridor
+        dvec = all_pos - p
+        fx = dvec[:, 0] * jnp.cos(y) + dvec[:, 1] * jnp.sin(y)
+        lat = -dvec[:, 0] * jnp.sin(y) + dvec[:, 1] * jnp.cos(y)
+        headon = (~same_dir) & (fx > 0.0) & (fx < 6.0) \
+            & (jnp.abs(lat) < 1.8)
+        veh = jnp.any(((same_dir & cone) | headon) & others)
         light = red_light_hazard(p, y, light_state,
                                  map_data.light_stop_pos,
                                  map_data.light_stop_yaw,
@@ -106,7 +147,7 @@ def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
         return veh | light | wlk
 
     hazard = jax.vmap(hazards_one)(pos, yaw, jnp.arange(pos.shape[0]),
-                                   in_junction)
+                                   in_junction) | entry_hold
 
     throttle = jnp.clip(NPC_THROTTLE_KP * (target_speed - speed), 0.0, 1.0)
     throttle = jnp.where(hazard, 0.0, throttle)

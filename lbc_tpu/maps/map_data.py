@@ -35,6 +35,7 @@ class MapData(NamedTuple):
     wp_n_next: np.ndarray         # (N,) int32
     wp_seg: np.ndarray            # (N,) int32
     wp_is_junction: np.ndarray    # (N,) bool
+    wp_junction: np.ndarray       # (N,) int32 junction node id, -1 on roads
     # nearest-waypoint hash grid
     grid_idx: np.ndarray          # (GH, GW) int32
     # spawn points
@@ -160,6 +161,12 @@ def build_map_data(town: str) -> MapData:
     grid = _nearest_grid(net, h_m, w_m)
 
     wp_is_junction = net._seg_is_junction[net.wp_seg]
+    # junction connectors carry start_node == end_node == the junction
+    # node (roadnet.py:_connect_junctions); roads map to -1
+    seg_junction = np.array(
+        [s.start_node if s.is_junction else -1 for s in net.segments],
+        np.int32)
+    wp_junction = seg_junction[net.wp_seg]
     ws_pts, ws_comp, ws_nbrs, ws_cross = _walker_spawn_points(
         road, walkable, net.world_offset, net.pixels_per_meter)
 
@@ -174,6 +181,7 @@ def build_map_data(town: str) -> MapData:
         wp_n_next=net.wp_n_next,
         wp_seg=net.wp_seg,
         wp_is_junction=wp_is_junction,
+        wp_junction=wp_junction,
         grid_idx=grid,
         spawn_pos=net.spawn_pos.astype(np.float32),
         spawn_yaw=net.spawn_yaw.astype(np.float32),

@@ -165,3 +165,66 @@ def test_warmup_resets_clocks(env):
     assert int(batch.episode.tick[0]) == 0
     # NPCs should have started moving during warmup
     assert float(jnp.max(batch.npc.speed)) >= 0.0
+
+
+def test_npc_junction_entry_gate():
+    """Anti-gridlock: an NPC approaching a junction boundary holds (brakes,
+    pointer not advanced) while a stopped vehicle occupies the junction,
+    and proceeds once the junction is clear (engine/npc.py entry gate)."""
+    import numpy as np
+
+    from lbc_tpu.engine.npc import npc_vehicle_step
+    from lbc_tpu.engine.state import NPCVehicleState
+    from lbc_tpu.maps import build_map_data
+
+    m = build_map_data('Town01')
+    md = jax.tree.map(jnp.asarray, m)
+    wpj = np.asarray(m.wp_junction)
+    # find a road wp whose successor is a junction wp (an entry boundary)
+    entry = None
+    for i in range(m.wp_pos.shape[0]):
+        if wpj[i] >= 0 or int(m.wp_n_next[i]) < 1:
+            continue
+        nxts = [int(m.wp_next[i, k]) for k in range(int(m.wp_n_next[i]))]
+        # every successor enters the junction (a lane-end waypoint), so
+        # the gate applies whichever branch the NPC's hash picks
+        if all(n >= 0 and wpj[n] >= 0 for n in nxts):
+            entry = (i, nxts[0], int(wpj[nxts[0]]))
+            break
+    assert entry is not None
+    i, j_wp, j_id = entry
+    # one junction wp of the same junction for the blocker
+    blocker_wp = j_wp
+    entry_pos = m.wp_pos[i]
+    yaw_to = float(np.arctan2(*(m.wp_pos[j_wp] - entry_pos)[::-1]))
+    # approacher: 1.5 m before the boundary wp (inside NPC_REACH, so the
+    # pointer would advance into the junction this tick if not gated)
+    appr_pos = entry_pos - 1.5 * np.array([np.cos(yaw_to), np.sin(yaw_to)],
+                                          np.float32)
+
+    def make(blocker_speed, blocker_active):
+        return NPCVehicleState(
+            pos=jnp.asarray(np.stack([appr_pos, m.wp_pos[blocker_wp]]),
+                            jnp.float32),
+            yaw=jnp.asarray([yaw_to, 0.0], jnp.float32),
+            speed=jnp.asarray([4.0, blocker_speed], jnp.float32),
+            wp=jnp.asarray([i, blocker_wp], jnp.int32),
+            active=jnp.asarray([True, blocker_active]))
+
+    far = jnp.asarray([1e6, 1e6], jnp.float32)   # ego far away
+    kw = dict(ego_pos=far, ego_yaw=jnp.asarray(0.0),
+              walker_pos=jnp.zeros((1, 2)) + 1e6,
+              walker_active=jnp.asarray([False]),
+              light_state=jnp.zeros((m.light_pole_pos.shape[0],),
+                                    jnp.int32),
+              seed=jnp.asarray(0, jnp.uint32))
+
+    # stopped blocker inside -> approacher must hold at the boundary
+    held = npc_vehicle_step(make(0.0, True), md, **kw)
+    assert int(held.wp[0]) == i              # pointer did not advance
+    assert float(held.speed[0]) < 4.0        # braking
+
+    # clear junction -> approacher advances into it at speed
+    clear = npc_vehicle_step(make(0.0, False), md, **kw)
+    assert int(np.asarray(wpj[int(clear.wp[0])])) >= 0   # pointer entered
+    assert float(clear.speed[0]) >= float(held.speed[0])
