@@ -101,11 +101,11 @@ def train(config):
     key = jax.random.fold_in(key, epoch_offset)
     images_seen = (epoch_offset * config['samples_per_epoch']
                    * config['batch_size'])
-    for epoch in range(config['max_epoch'] + 1):
+    for epoch in range(epoch_offset, config['max_epoch'] + 1):
         losses = []
         sampler = BatchSampler(ds, config['batch_size'],
                                samples=config['samples_per_epoch'],
-                               seed=epoch_offset + epoch, image=True)
+                               seed=epoch, image=True)
         for i, np_batch in enumerate(sampler):
             batch = {k2: jnp.asarray(v) for k2, v in np_batch.items()}
             batch['command'] = batch['command'].astype(jnp.int32)
@@ -158,6 +158,10 @@ def main():
                          '(train_image_phase1.py:286 default)')
     ap.add_argument('--max_frames', type=int, default=None)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--epoch-offset', type=int, default=0,
+                    help='resume a crashed run: continue from this epoch '
+                         '(pair with --ckpt <log_dir>/model-N); max_epoch '
+                         'stays the total epoch count')
     ap.add_argument('--resident', action='store_true',
                     help='upload the dataset to HBM once and train with '
                          'zero per-step host transfer (train/resident.py '
@@ -176,6 +180,7 @@ def main():
         'augment_schedule': args.augment,
         'ckpt': args.ckpt,
         'seed': args.seed,
+        'epoch_offset': args.epoch_offset,
         'model_args': {'model': 'image_ss', 'backbone': args.backbone},
         'teacher_args': {'model_path': args.teacher_path,
                          'backbone': args.teacher_backbone},

@@ -186,12 +186,15 @@ def train_resident(config, state: TrainState, tx, model, teacher_model,
                                       phase, batch)
     n_val = int(data.rgb.shape[0]) - data.n_train
 
+    # epoch_offset resumes a crashed run: max_epoch stays the TOTAL epoch
+    # count, the loop continues from the offset, and the sampler RNG /
+    # augmentation anneal clock pick up where the dead process stopped.
     epoch_offset = int(config.get('epoch_offset', 0))
     key = jax.random.fold_in(
         jax.random.PRNGKey(config.get('seed', 0) + 99), epoch_offset)
     images_seen = epoch_offset * config['samples_per_epoch'] * batch
     history = []
-    for epoch in range(config['max_epoch'] + 1):
+    for epoch in range(epoch_offset, config['max_epoch'] + 1):
         losses = []
         for _ in range(config['samples_per_epoch']):
             key, k = jax.random.split(key)
@@ -210,7 +213,7 @@ def train_resident(config, state: TrainState, tx, model, teacher_model,
             log.scalar(is_train=True, loss=train_loss)
             log.scalar(is_train=False, loss=val_loss)
             log.end_epoch()
-        print(f'epoch {epoch + epoch_offset}: train {train_loss:.4f} '
+        print(f'epoch {epoch}: train {train_loss:.4f} '
               f'val {val_loss:.4f}', flush=True)
         if save_fn is not None:
             save_fn(state, epoch)

@@ -1,0 +1,102 @@
+#!/bin/bash
+# Round-3 TPU queue after phase-1 (tools/round3_phase01.sh):
+#   1. Stage-1 benchmarks (Full v1-v4 both towns)
+#   2. DAgger phase 2 at scale (device-resident buffer)
+#   3. Stage-2 benchmarks (Full + NoCrash matrix)
+# Stages are resumable via marker files under /tmp/r3tail.*; benchmark
+# runs themselves resume row-by-row (bench/runner.py).
+set -u
+cd "$(dirname "$0")/.."
+stamp() { echo "[r3tail $(date +%H:%M:%S)] $*"; }
+
+PHASE1=${PHASE1:-$(python - <<'EOF'
+from lbc_tpu.train.checkpoints import latest_checkpoint
+print(latest_checkpoint('ckpts/image_r3/phase1'))
+EOF
+)}
+stamp "stage-1 checkpoint: $PHASE1"
+[ -z "$PHASE1" -o "$PHASE1" = "None" ] && { stamp "no phase-1 ckpt"; exit 1; }
+
+if [ ! -f /tmp/r3tail.stage1.done ]; then
+  for s in FullTown01-v1 FullTown01-v2 FullTown01-v3 FullTown01-v4 \
+           FullTown02-v1 FullTown02-v2 FullTown02-v3 FullTown02-v4 \
+           StraightTown01-v1 StraightTown01-v2 TurnTown01-v1 TurnTown01-v2 \
+           StraightTown02-v1 StraightTown02-v2 TurnTown02-v1 TurnTown02-v2 \
+           NoCrashTown01-v1 NoCrashTown01-v2 NoCrashTown01-v3 \
+           NoCrashTown01-v4 NoCrashTown02-v1 NoCrashTown02-v2 \
+           NoCrashTown02-v3 NoCrashTown02-v4; do
+    stamp "stage-1 bench $s"
+    python -m lbc_tpu.cli.benchmark_agent --batch-size 100 --seed 0 \
+      --suite "$s" --model-path "$PHASE1" \
+      --log-dir benchmark_results/stage1_r3 \
+      || { stamp "stage-1 $s FAILED"; exit 1; }
+  done
+  touch /tmp/r3tail.stage1.done
+fi
+
+if [ ! -f /tmp/r3tail.dagger.done ]; then
+  stamp "DAgger stage 2 (20 episodes, dense Town01, device buffer)"
+  python -m lbc_tpu.cli.train_dagger \
+    --teacher-path ckpts/priv_full/priv/model-32 \
+    --ckpt "$PHASE1" --log_dir ckpts/image_r3/phase2 \
+    --episodes 20 --episode_length 1000 \
+    --epochs_per_episode 5 --batches_per_epoch 100 --batch_size 64 \
+    --device-buffer || { stamp "dagger FAILED"; exit 1; }
+  touch /tmp/r3tail.dagger.done
+fi
+
+PHASE2=$(python - <<'EOF'
+from lbc_tpu.train.checkpoints import latest_checkpoint
+print(latest_checkpoint('ckpts/image_r3/phase2'))
+EOF
+)
+stamp "stage-2 checkpoint: $PHASE2"
+if [ ! -f /tmp/r3tail.stage2.done ] && [ -n "$PHASE2" ] && [ "$PHASE2" != "None" ]; then
+  for s in FullTown01-v3 FullTown01-v4 FullTown02-v3 FullTown02-v4 \
+           FullTown01-v1 FullTown01-v2 FullTown02-v1 FullTown02-v2 \
+           NoCrashTown01-v1 NoCrashTown01-v2 NoCrashTown01-v3 \
+           NoCrashTown01-v4 NoCrashTown01-v5 NoCrashTown01-v6 \
+           NoCrashTown02-v1 NoCrashTown02-v2 NoCrashTown02-v3 \
+           NoCrashTown02-v4 NoCrashTown02-v5 NoCrashTown02-v6; do
+    stamp "stage-2 bench $s"
+    python -m lbc_tpu.cli.benchmark_agent --batch-size 100 --seed 0 \
+      --suite "$s" --model-path "$PHASE2" \
+      --log-dir benchmark_results/stage2_r3 \
+      || { stamp "stage-2 $s FAILED"; exit 1; }
+  done
+  touch /tmp/r3tail.stage2.done
+fi
+
+# ---- privileged-agent DAgger: close the NoCrash traffic gap ----
+if [ ! -f /tmp/r3tail.privdagger.done ]; then
+  stamp "priv DAgger (fork-expert labels, device buffer, regular traffic)"
+  python -m lbc_tpu.cli.train_priv_dagger \
+    --ckpt ckpts/priv_full/priv/model-32 \
+    --log_dir ckpts/priv_dagger_r3 \
+    --episodes 20 --episode_length 1000 --n_envs 4 \
+    --n_vehicles 20 --n_pedestrians 50 \
+    --epochs_per_episode 3 --batches_per_epoch 100 --batch_size 256 \
+    || { stamp "priv dagger FAILED"; exit 1; }
+  touch /tmp/r3tail.privdagger.done
+fi
+
+PRIVD=$(python - <<'EOF'
+from lbc_tpu.train.checkpoints import latest_checkpoint
+print(latest_checkpoint('ckpts/priv_dagger_r3'))
+EOF
+)
+stamp "priv-dagger checkpoint: $PRIVD"
+if [ ! -f /tmp/r3tail.privbench.done ] && [ -n "$PRIVD" ] && [ "$PRIVD" != "None" ]; then
+  for s in NoCrashTown01-v3 NoCrashTown01-v4 NoCrashTown02-v3 \
+           NoCrashTown02-v4 NoCrashTown01-v5 NoCrashTown01-v6 \
+           NoCrashTown02-v5 NoCrashTown02-v6 \
+           FullTown01-v3 FullTown01-v4 FullTown02-v3 FullTown02-v4; do
+    stamp "priv-dagger bench $s"
+    python -m lbc_tpu.cli.benchmark_agent --batch-size 100 --seed 0 \
+      --suite "$s" --model-path "$PRIVD" \
+      --log-dir benchmark_results/priv_dagger_r3 \
+      || { stamp "priv-dagger $s FAILED"; exit 1; }
+  done
+  touch /tmp/r3tail.privbench.done
+fi
+stamp "DONE"
