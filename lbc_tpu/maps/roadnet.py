@@ -344,14 +344,27 @@ class RoadNetwork:
         self.light_stop_pos = np.array(self.light_stop_pos)
         self.light_stop_yaw = np.array(self.light_stop_yaw)
         self.light_junction = np.array(self.light_junction, np.int32)
-        # phase index: order lights within a junction arbitrarily but stably
+        # phase index: CARLA-style opposing-approach grouping. Lights whose
+        # approach headings are ~parallel (mod 180 deg) share a phase and
+        # turn green TOGETHER; the perpendicular group gets the other
+        # phase. This is what makes the far-side light head (the only one
+        # inside the ego camera's FOV at the stop line) carry the ego's
+        # own light state — the visual cue the reference image agent
+        # learns to stop/go on. Round-robin per-light phases (round 1-2)
+        # broke that correlation and made "when to go" visually
+        # unlearnable: the stage-1 agent deadlocked at the first red.
         self.light_phase = np.zeros(len(self.light_poles), np.int32)
         self.junction_n_phases = np.zeros(len(self.nodes), np.int32)
         for node in np.unique(self.light_junction):
             ids = np.nonzero(self.light_junction == node)[0]
-            for k, i in enumerate(ids):
-                self.light_phase[i] = k
-            self.junction_n_phases[node] = len(ids)
+            base = self.light_stop_yaw[ids[0]]
+            for i in ids:
+                diff = self.light_stop_yaw[i] - base
+                # absolute angular difference folded mod 180 deg
+                diff = abs((diff + np.pi / 2) % np.pi - np.pi / 2)
+                self.light_phase[i] = 0 if diff < np.pi / 4 else 1
+            # always >= 2 phases so every light cycles through red
+            self.junction_n_phases[node] = 2
 
     # --------------------------------------------------------------- capsules
     def _build_capsules(self):

@@ -20,7 +20,17 @@ def test_town01_structure(net):
     # CARLA Town01: 12 T-junctions, 36 lights (3 per junction)
     assert len(net.nodes) == 12
     assert len(net.light_poles) == 36
-    assert all(net.junction_n_phases[np.unique(net.light_junction)] == 3)
+    # two CARLA-style phases per junction: opposing approaches (mod-180
+    # headings) share a phase so the far-side head shows the ego's state
+    assert all(net.junction_n_phases[np.unique(net.light_junction)] == 2)
+    for node in np.unique(net.light_junction):
+        ids = np.nonzero(net.light_junction == node)[0]
+        for a in ids:
+            for b in ids:
+                d = abs((net.light_stop_yaw[a] - net.light_stop_yaw[b]
+                         + np.pi / 2) % np.pi - np.pi / 2)
+                same = net.light_phase[a] == net.light_phase[b]
+                assert same == (d < np.pi / 4)
     # every non-junction lane ends in >= 1 successor connector
     for seg in net.segments:
         assert seg.successors or seg.is_junction is False

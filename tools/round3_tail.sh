@@ -9,11 +9,14 @@ set -u
 cd "$(dirname "$0")/.."
 stamp() { echo "[r3tail $(date +%H:%M:%S)] $*"; }
 
-PHASE1=${PHASE1:-$(python - <<'EOF'
+PHASE1=${PHASE1:-$(python - <<'PYEOF'
 from lbc_tpu.train.checkpoints import latest_checkpoint
-print(latest_checkpoint('ckpts/image_r3/phase1'))
-EOF
+print(latest_checkpoint('ckpts/image_r3b/phase1'))
+PYEOF
 )}
+PHASE2_DIR=${PHASE2_DIR:-ckpts/image_r3b/phase2}
+STAGE1_DIR=${STAGE1_DIR:-benchmark_results/stage1_r3b}
+STAGE2_DIR=${STAGE2_DIR:-benchmark_results/stage2_r3b}
 stamp "stage-1 checkpoint: $PHASE1"
 [ -z "$PHASE1" -o "$PHASE1" = "None" ] && { stamp "no phase-1 ckpt"; exit 1; }
 
@@ -28,7 +31,7 @@ if [ ! -f /tmp/r3tail.stage1.done ]; then
     stamp "stage-1 bench $s"
     python -m lbc_tpu.cli.benchmark_agent --batch-size 100 --seed 0 \
       --suite "$s" --model-path "$PHASE1" \
-      --log-dir benchmark_results/stage1_r3 \
+      --log-dir "$STAGE1_DIR" \
       || { stamp "stage-1 $s FAILED"; exit 1; }
   done
   touch /tmp/r3tail.stage1.done
@@ -38,17 +41,17 @@ if [ ! -f /tmp/r3tail.dagger.done ]; then
   stamp "DAgger stage 2 (20 episodes, dense Town01, device buffer)"
   python -m lbc_tpu.cli.train_dagger \
     --teacher-path ckpts/priv_full/priv/model-32 \
-    --ckpt "$PHASE1" --log_dir ckpts/image_r3/phase2 \
+    --ckpt "$PHASE1" --log_dir "$PHASE2_DIR" \
     --episodes 20 --episode_length 1000 \
     --epochs_per_episode 5 --batches_per_epoch 100 --batch_size 64 \
     --device-buffer || { stamp "dagger FAILED"; exit 1; }
   touch /tmp/r3tail.dagger.done
 fi
 
-PHASE2=$(python - <<'EOF'
+PHASE2=$(python - <<PYEOF
 from lbc_tpu.train.checkpoints import latest_checkpoint
-print(latest_checkpoint('ckpts/image_r3/phase2'))
-EOF
+print(latest_checkpoint('$PHASE2_DIR'))
+PYEOF
 )
 stamp "stage-2 checkpoint: $PHASE2"
 if [ ! -f /tmp/r3tail.stage2.done ] && [ -n "$PHASE2" ] && [ "$PHASE2" != "None" ]; then
@@ -61,7 +64,7 @@ if [ ! -f /tmp/r3tail.stage2.done ] && [ -n "$PHASE2" ] && [ "$PHASE2" != "None"
     stamp "stage-2 bench $s"
     python -m lbc_tpu.cli.benchmark_agent --batch-size 100 --seed 0 \
       --suite "$s" --model-path "$PHASE2" \
-      --log-dir benchmark_results/stage2_r3 \
+      --log-dir "$STAGE2_DIR" \
       || { stamp "stage-2 $s FAILED"; exit 1; }
   done
   touch /tmp/r3tail.stage2.done
