@@ -44,6 +44,7 @@ if [ ! -f /tmp/r3tail.dagger.done ]; then
     --ckpt "$PHASE1" --log_dir "$PHASE2_DIR" \
     --episodes 20 --episode_length 1000 \
     --epochs_per_episode 5 --batches_per_epoch 100 --batch_size 64 \
+    --capacity 40000 \
     --device-buffer || { stamp "dagger FAILED"; exit 1; }
   touch /tmp/r3tail.dagger.done
 fi
@@ -101,5 +102,24 @@ if [ ! -f /tmp/r3tail.privbench.done ] && [ -n "$PRIVD" ] && [ "$PRIVD" != "None
       || { stamp "priv-dagger $s FAILED"; exit 1; }
   done
   touch /tmp/r3tail.privbench.done
+fi
+
+# ---- multi-seed protocol: seeds 1,2 on the stage-2 NoCrash rows ----
+# (reference publishes NoCrash as mean +/- std over seeds 0,1,2;
+#  view_benchmark_results.py:29-35)
+if [ ! -f /tmp/r3tail.seeds.done ] && [ -n "$PHASE2" ] && [ "$PHASE2" != "None" ]; then
+  for seed in 1 2; do
+    for s in NoCrashTown01-v1 NoCrashTown01-v2 NoCrashTown01-v3 \
+             NoCrashTown01-v4 NoCrashTown01-v5 NoCrashTown01-v6 \
+             NoCrashTown02-v1 NoCrashTown02-v2 NoCrashTown02-v3 \
+             NoCrashTown02-v4 NoCrashTown02-v5 NoCrashTown02-v6; do
+      stamp "stage-2 bench $s seed $seed"
+      python -m lbc_tpu.cli.benchmark_agent --batch-size 100 --seed "$seed" \
+        --suite "$s" --model-path "$PHASE2" \
+        --log-dir "$STAGE2_DIR" \
+        || { stamp "stage-2 $s seed $seed FAILED"; exit 1; }
+    done
+  done
+  touch /tmp/r3tail.seeds.done
 fi
 stamp "DONE"
