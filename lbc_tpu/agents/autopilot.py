@@ -59,8 +59,13 @@ def expert_step(map_data, env_state, agent_state: ExpertState):
                           map_data.junction_n_phases,
                           env_state.episode.light_t0,
                           env_state.episode.tick)
+    from ..engine.routing import nearest_waypoint
+    ego_wp = nearest_waypoint(map_data.grid_idx, map_data.world_offset,
+                              ego.pos)
+    in_junction = map_data.wp_junction[ego_wp] >= 0
     h_veh = vehicle_hazard(ego.pos, ego.yaw, env_state.npc.pos,
-                           env_state.npc.yaw, env_state.npc.active)
+                           env_state.npc.yaw, env_state.npc.active,
+                           in_junction=in_junction)
     h_light = red_light_hazard(ego.pos, ego.yaw, lstate,
                                map_data.light_stop_pos,
                                map_data.light_stop_yaw)

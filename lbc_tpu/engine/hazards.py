@@ -32,12 +32,31 @@ def yaw_difference_deg(yaw_a, yaw_b):
 
 
 def vehicle_hazard(pos, yaw, veh_pos, veh_yaw, veh_active,
-                   proximity=PROXIMITY_THRESHOLD):
+                   proximity=PROXIMITY_THRESHOLD, in_junction=False):
     """_is_vehicle_hazard (agent.py:202-251): blocked by any active vehicle
-    with |yaw diff| <= 150 deg within `proximity` m inside a 45 deg cone."""
+    with |yaw diff| <= 150 deg within `proximity` m inside a 45 deg cone.
+
+    Two additions over the reference predicate (round-3 collision audit,
+    Town02 88->33 / 64->1, deterministic across weathers):
+    * a narrow dead-ahead corridor for ONCOMING traffic (> 150 deg, which
+      the reference gate ignores): our Bezier junction connectors swing
+      turning vehicles closer to the opposing lane than CARLA's lane
+      geometry does. 6 m x +-1.8 m catches true head-on blockers while
+      still ignoring the adjacent oncoming lane (5 m lateral offset).
+    * `in_junction=True` drops the heading gate entirely: inside a
+      junction every vehicle in the cone is a genuine path conflict (the
+      150-deg gate exists for the adjacent oncoming LANE, a road-only
+      concept); the expert was corner-clipping crossing traffic it was
+      heading-gate-blind to while swinging through turns.
+    """
     same_dir = yaw_difference_deg(yaw, veh_yaw) <= 150.0
+    same_dir = jnp.logical_or(same_dir, in_junction)
     ahead = within_distance_ahead(veh_pos, pos, yaw, proximity, 45.0)
-    return jnp.any(same_dir & ahead & veh_active)
+    rel = veh_pos - pos
+    fx = rel[..., 0] * jnp.cos(yaw) + rel[..., 1] * jnp.sin(yaw)
+    lat = -rel[..., 0] * jnp.sin(yaw) + rel[..., 1] * jnp.cos(yaw)
+    headon = (fx > 0.0) & (fx < 6.0) & (jnp.abs(lat) < 1.8)
+    return jnp.any(((same_dir & ahead) | headon) & veh_active)
 
 
 def red_light_hazard(pos, yaw, light_state, light_stop_pos, light_stop_yaw,
