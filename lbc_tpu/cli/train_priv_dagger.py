@@ -17,6 +17,7 @@ import argparse
 import jax
 
 from ..data import ReplayBuffer
+from ..engine import DrivingEnv, EnvConfig
 from ..train import init_birdview_training, make_birdview_model
 from ..train.checkpoints import load_checkpoint, save_checkpoint
 from ..train.priv_dagger import (priv_dagger_rollout,
@@ -42,6 +43,9 @@ def main():
     ap.add_argument('--capacity', type=int, default=200_000)
     ap.add_argument('--lr', type=float, default=1e-4)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--mix-dense', action='store_true',
+                    help='alternate regular/dense-traffic episodes '
+                         '(device-buffer path only)')
     ap.add_argument('--device-buffer', dest='device_buffer',
                     action='store_true', default=None,
                     help='HBM-resident replay (default on TPU): zero '
@@ -74,14 +78,23 @@ def main():
                   args.episodes * args.episode_length * args.n_envs
                   + 4000)
         buffer = replay_init(cap, specs=PRIV_SPECS)
+        envs = [DrivingEnv(EnvConfig(town=args.town,
+                                     n_vehicles=args.n_vehicles,
+                                     n_pedestrians=args.n_pedestrians))]
+        if args.mix_dense:
+            # alternate regular / dense episodes so the NoCrash dense
+            # rows are on-distribution too (two env shapes = two rollout
+            # compilations, paid once each)
+            envs.append(DrivingEnv(EnvConfig(town=args.town,
+                                             n_vehicles=100,
+                                             n_pedestrians=250)))
         for episode in range(args.episodes):
             variables = {'params': state.params,
                          'batch_stats': state.batch_stats}
             buffer, added = priv_dagger_rollout_device(
                 buffer, model, variables, episode,
-                episode_length=args.episode_length, town=args.town,
-                n_vehicles=args.n_vehicles,
-                n_pedestrians=args.n_pedestrians, n_envs=args.n_envs,
+                episode_length=args.episode_length,
+                env=envs[episode % len(envs)], n_envs=args.n_envs,
                 seed=args.seed)
             log.info('episode %d: +%d frames (buffer %d)', episode,
                      added, int(buffer.size))

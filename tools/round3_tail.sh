@@ -80,6 +80,7 @@ if [ ! -f /tmp/r3tail.privdagger.done ]; then
     --episodes 20 --episode_length 1000 --n_envs 4 \
     --n_vehicles 20 --n_pedestrians 50 \
     --epochs_per_episode 3 --batches_per_epoch 100 --batch_size 256 \
+    --mix-dense \
     || { stamp "priv dagger FAILED"; exit 1; }
   touch /tmp/r3tail.privdagger.done
 fi
