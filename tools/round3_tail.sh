@@ -24,10 +24,7 @@ if [ ! -f /tmp/r3tail.stage1.done ]; then
   for s in FullTown01-v1 FullTown01-v2 FullTown01-v3 FullTown01-v4 \
            FullTown02-v1 FullTown02-v2 FullTown02-v3 FullTown02-v4 \
            StraightTown01-v1 StraightTown01-v2 TurnTown01-v1 TurnTown01-v2 \
-           StraightTown02-v1 StraightTown02-v2 TurnTown02-v1 TurnTown02-v2 \
-           NoCrashTown01-v1 NoCrashTown01-v2 NoCrashTown01-v3 \
-           NoCrashTown01-v4 NoCrashTown02-v1 NoCrashTown02-v2 \
-           NoCrashTown02-v3 NoCrashTown02-v4; do
+           StraightTown02-v1 StraightTown02-v2 TurnTown02-v1 TurnTown02-v2; do
     stamp "stage-1 bench $s"
     python -m lbc_tpu.cli.benchmark_agent --batch-size 100 --seed 0 \
       --suite "$s" --model-path "$PHASE1" \
@@ -69,6 +66,20 @@ if [ ! -f /tmp/r3tail.stage2.done ] && [ -n "$PHASE2" ] && [ "$PHASE2" != "None"
       || { stamp "stage-2 $s FAILED"; exit 1; }
   done
   touch /tmp/r3tail.stage2.done
+fi
+
+# ---- stage-1 NoCrash rows (deferred below stage-2: lower priority) ----
+if [ ! -f /tmp/r3tail.stage1nc.done ]; then
+  for s in NoCrashTown01-v1 NoCrashTown01-v2 NoCrashTown01-v3 \
+           NoCrashTown01-v4 NoCrashTown02-v1 NoCrashTown02-v2 \
+           NoCrashTown02-v3 NoCrashTown02-v4; do
+    stamp "stage-1 NoCrash bench $s"
+    python -m lbc_tpu.cli.benchmark_agent --batch-size 100 --seed 0 \
+      --suite "$s" --model-path "$PHASE1" \
+      --log-dir "$STAGE1_DIR" \
+      || { stamp "stage-1 $s FAILED"; exit 1; }
+  done
+  touch /tmp/r3tail.stage1nc.done
 fi
 
 # ---- privileged-agent DAgger: close the NoCrash traffic gap ----
