@@ -34,6 +34,19 @@ if [ ! -f /tmp/r3tail.stage1.done ]; then
   touch /tmp/r3tail.stage1.done
 fi
 
+# ---- expert re-bench (trimmed): claim the collision fixes early ----
+if [ ! -f /tmp/r3tail.expert.done ]; then
+  for s in NoCrashTown01-v3 NoCrashTown02-v3 NoCrashTown01-v5 \
+           NoCrashTown02-v5; do
+    stamp "expert bench $s"
+    python -m lbc_tpu.cli.benchmark_agent --batch-size 100 --seed 0 \
+      --suite "$s" --autopilot \
+      --log-dir benchmark_results/expert_r3 \
+      || { stamp "expert $s FAILED"; exit 1; }
+  done
+  touch /tmp/r3tail.expert.done
+fi
+
 if [ ! -f /tmp/r3tail.dagger.done ]; then
   stamp "DAgger stage 2 (20 episodes, dense Town01, device buffer)"
   python -m lbc_tpu.cli.train_dagger \
@@ -114,21 +127,6 @@ if [ ! -f /tmp/r3tail.privbench.done ] && [ -n "$PRIVD" ] && [ "$PRIVD" != "None
       || { stamp "priv-dagger $s FAILED"; exit 1; }
   done
   touch /tmp/r3tail.privbench.done
-fi
-
-# ---- expert re-bench after the hazard/light/junction fixes ----
-if [ ! -f /tmp/r3tail.expert.done ]; then
-  for s in NoCrashTown01-v3 NoCrashTown01-v4 NoCrashTown02-v3 \
-           NoCrashTown02-v4 NoCrashTown01-v5 NoCrashTown01-v6 \
-           NoCrashTown02-v5 NoCrashTown02-v6 \
-           FullTown01-v3 FullTown02-v3; do
-    stamp "expert bench $s"
-    python -m lbc_tpu.cli.benchmark_agent --batch-size 100 --seed 0 \
-      --suite "$s" --autopilot \
-      --log-dir benchmark_results/expert_r3 \
-      || { stamp "expert $s FAILED"; exit 1; }
-  done
-  touch /tmp/r3tail.expert.done
 fi
 
 # ---- multi-seed protocol: seeds 1,2 on the stage-2 NoCrash rows ----
