@@ -136,7 +136,7 @@ def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
         lat = -dvec[:, 0] * jnp.sin(y) + dvec[:, 1] * jnp.cos(y)
         headon = (~same_dir) & (fx > 0.0) & (fx < 6.0) \
             & (jnp.abs(lat) < 1.8)
-        veh = jnp.any(((same_dir & cone) | headon) & others)
+        veh_by = ((same_dir & cone) | headon) & others
         light = red_light_hazard(p, y, light_state,
                                  map_data.light_stop_pos,
                                  map_data.light_stop_yaw,
@@ -144,10 +144,27 @@ def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
         wlk = walker_hazard(p, y, walker_pos, walker_active,
                             map_data.road_raster, map_data.world_offset,
                             proximity=NPC_PROXIMITY)
-        return veh | light | wlk
+        return veh_by, light | wlk
 
-    hazard = jax.vmap(hazards_one)(pos, yaw, jnp.arange(pos.shape[0]),
-                                   in_junction) | entry_hold
+    veh_by, other_hazard = jax.vmap(hazards_one)(
+        pos, yaw, jnp.arange(pos.shape[0]), in_junction)
+    # --- mutual-block tiebreaker (anti-gridlock, cf. CARLA's junction
+    # arbitration): two vehicles stopped on crossing junction connectors
+    # can sit inside each other's imminent cone / head-on corridor forever
+    # (each waits for the other), freezing the junction and — through the
+    # entry gate — eventually the whole town. Break the symmetry: for a
+    # *geometrically mutual* NPC pair inside a junction whose partner is
+    # stopped, the lower-index vehicle ignores that one blocker and clears
+    # the conflict while the partner stays held by its normal cone. Blocks
+    # against the ego are never relaxed.
+    npc_by = veh_by[:, :-1]                      # (N, N) NPC-vs-NPC
+    n = npc_by.shape[0]
+    idxs = jnp.arange(n)
+    mutual = (npc_by & npc_by.T & in_junction[:, None] & in_junction[None, :]
+              & stopped_npc[None, :] & (idxs[:, None] < idxs[None, :]))
+    npc_by = npc_by & ~mutual
+    veh = jnp.any(npc_by, axis=1) | veh_by[:, -1]
+    hazard = veh | other_hazard | entry_hold
 
     throttle = jnp.clip(NPC_THROTTLE_KP * (target_speed - speed), 0.0, 1.0)
     throttle = jnp.where(hazard, 0.0, throttle)

@@ -228,3 +228,49 @@ def test_npc_junction_entry_gate():
     clear = npc_vehicle_step(make(0.0, False), md, **kw)
     assert int(np.asarray(wpj[int(clear.wp[0])])) >= 0   # pointer entered
     assert float(clear.speed[0]) >= float(held.speed[0])
+
+
+def test_npc_mutual_block_tiebreaker():
+    """Two NPCs stopped inside a junction in each other's block corridor
+    (crossing connectors) must not deadlock: the lower-index one ignores
+    its mutual partner and pulls away while the other stays held
+    (engine/npc.py mutual-block tiebreaker). Without it, such pairs froze
+    whole dense-suite towns via entry-gate spillback."""
+    import numpy as np
+
+    from lbc_tpu.engine.npc import npc_vehicle_step
+    from lbc_tpu.engine.state import NPCVehicleState
+    from lbc_tpu.maps import build_map_data
+
+    m = build_map_data('Town01')
+    md = jax.tree.map(jnp.asarray, m)
+    wpj = np.asarray(m.wp_junction)
+    j_wp = int(np.nonzero(wpj >= 0)[0][0])
+
+    p0 = np.asarray(m.wp_pos[j_wp], np.float32)
+    kw = dict(ego_pos=jnp.asarray([1e6, 1e6], jnp.float32),
+              ego_yaw=jnp.asarray(0.0),
+              walker_pos=jnp.zeros((1, 2)) + 1e6,
+              walker_active=jnp.asarray([False]),
+              light_state=jnp.zeros((m.light_pole_pos.shape[0],),
+                                    jnp.int32),
+              seed=jnp.asarray(0, jnp.uint32))
+
+    def pair(yaw1_deg):
+        return NPCVehicleState(
+            pos=jnp.asarray(np.stack([p0, p0 + [4.0, 1.0]]), jnp.float32),
+            yaw=jnp.asarray([0.0, np.radians(yaw1_deg)], jnp.float32),
+            speed=jnp.asarray([0.0, 0.0], jnp.float32),
+            wp=jnp.asarray([j_wp, j_wp], jnp.int32),
+            active=jnp.asarray([True, True]))
+
+    # head-on corridor pair (yaw diff 166 deg) and crossing-cone pair
+    # (yaw diff 120 deg, mutual imminent cones)
+    for yaw1 in (194.0, 240.0):
+        out = pair(yaw1)
+        for _ in range(20):
+            out = npc_vehicle_step(out, md, **kw)
+        assert float(out.speed[0]) > 0.3, yaw1   # priority car pulled away
+        # partner stayed held while the priority car was still close
+        one = npc_vehicle_step(pair(yaw1), md, **kw)
+        assert float(one.speed[1]) == 0.0, yaw1
