@@ -101,6 +101,10 @@ def main():
     ap.add_argument('--videos', type=int, default=0,
                     help='record BEV+HUD videos of the first N runs per '
                          'suite (run_benchmark.py:236 analog)')
+    ap.add_argument('--diagnostics', action='store_true',
+                    help='write per-tick diagnostics CSVs per episode '
+                         '(x, y, speed, ran_light...; '
+                         'run_benchmark.py:234,244 analog)')
     args = ap.parse_args()
 
     assert args.autopilot or args.model_path, \
@@ -116,6 +120,7 @@ def main():
                            resume=not args.no_resume,
                            batch_size=args.batch_size,
                            max_ticks=args.max_ticks,
+                           diagnostics=args.diagnostics,
                            n_videos=args.videos)
         print(f'{suite_name}: {100 * df["success"].mean():.1f}% '
               f'({int(df["success"].sum())}/{len(df)})')
