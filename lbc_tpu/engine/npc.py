@@ -38,6 +38,12 @@ NPC_IMMINENT = 5.8
 # spillback from junctions that vehicles entered and then blocked.
 NPC_JUNCTION_CAP = 4
 NPC_ENTRY_HOLD = 4.5   # m from the last road waypoint to start holding
+# gate on "any stopped vehicle inside" in addition to the capacity cap.
+# Python-level flag folded at trace time; tools/sweep_traffic.py measures
+# both settings (with the mutual-block tiebreaker, vehicles inside a
+# junction stop only transiently, so the stopped-gate mostly costs
+# throughput).
+NPC_GATE_ON_STOPPED = True
 
 
 def _hash01(a, b, c):
@@ -77,7 +83,9 @@ def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
     occ = occ.at[jnp.where(ego_j >= 0, ego_j, n_j)].add(1, mode='drop')
     occ_stopped = jnp.zeros((n_j,), jnp.int32).at[
         jnp.where(inside & stopped_npc, cur_j, n_j)].add(1, mode='drop')
-    congested = (occ_stopped > 0) | (occ >= NPC_JUNCTION_CAP)
+    congested = occ >= NPC_JUNCTION_CAP
+    if NPC_GATE_ON_STOPPED:
+        congested = congested | (occ_stopped > 0)
 
     # --- waypoint advance (up to 2 per tick; lattice spacing 1 m) ---
     entry_hold = jnp.zeros(wp.shape[0], bool)

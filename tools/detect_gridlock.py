@@ -66,7 +66,12 @@ def main():
                 'npc_active': env_state.npc.active}
 
     rollout = make_rollout(env, agent_step, args.ticks, collect=collect)
-    _, _, _, recs = rollout(batch, agent_state0)
+    _, _, metrics, recs = rollout(batch, agent_state0)
+    for e in range(args.episodes):
+        print(f'ego episode {e}: done={bool(metrics.done[e])} '
+              f'success={bool(metrics.success[e])} '
+              f'collided={bool(metrics.collided[e])} '
+              f'ticks={int(metrics.ticks[e])}')
 
     pos = np.asarray(recs['npc_pos'])        # (T, E, N, 2)
     yaw = np.asarray(recs['npc_yaw'])

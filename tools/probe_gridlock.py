@@ -18,6 +18,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--town', default='Town01')
     ap.add_argument('--n_vehicles', type=int, default=100)
+    ap.add_argument('--n_pedestrians', type=int, default=0)
     ap.add_argument('--ticks', type=int, default=600)
     ap.add_argument('--seed', type=int, default=7)
     ap.add_argument('--samples', type=int, nargs='*',
@@ -36,7 +37,7 @@ def main():
     from lbc_tpu.engine.rollout import make_rollout
 
     env = DrivingEnv(EnvConfig(town=args.town, n_vehicles=args.n_vehicles,
-                               n_pedestrians=0))
+                               n_pedestrians=args.n_pedestrians))
     n_spawn = int(env.map_np.spawn_pos.shape[0])
     rng = np.random.RandomState(args.seed)
     s, t = rng.choice(n_spawn, 2, replace=False)
@@ -52,7 +53,9 @@ def main():
                 'npc_active': env_state.npc.active,
                 'ego_pos': env_state.ego.pos, 'ego_yaw': env_state.ego.yaw,
                 'light_t0': env_state.episode.light_t0,
-                'tick': env_state.episode.tick}
+                'tick': env_state.episode.tick,
+                'walker_pos': env_state.walkers.pos,
+                'walker_active': env_state.walkers.active}
 
     rollout = make_rollout(env, agent_step, args.ticks, collect=collect)
     _, _, _, recs = rollout(batch, agent_init(1))
@@ -92,7 +95,12 @@ def main():
         all_speed = np.concatenate([speed, [10.0]])
         all_stopped = all_speed < 0.3
         cats = {'light': 0, 'leader': 0, 'imminent': 0, 'headon': 0,
-                'hold/other': 0}
+                'walker': 0, 'hold/other': 0}
+        wpos = r['walker_pos'][tick]
+        wact = r['walker_active'][tick]
+        road = np.asarray(md.road_raster)
+        from lbc_tpu.constants import PIXELS_PER_METER
+        woff = np.asarray(md.world_offset)
         n_stop = 0
         in_j_ct = 0
         for i in range(pos.shape[0]):
@@ -128,7 +136,21 @@ def main():
             elif np.any(headon & others):
                 cats['headon'] += 1
             else:
-                cats['hold/other'] += 1
+                dw = np.linalg.norm(wpos - p, axis=-1)
+                degree = 162.0 / (np.clip(dw, 1.5, 10.5) + 0.3)
+                angW = ydiff(y, np.arctan2((wpos - p)[:, 1],
+                                           (wpos - p)[:, 0]))
+                pxw = np.round((wpos - woff) * PIXELS_PER_METER)
+                hh, ww = road.shape
+                cxw = np.clip(pxw[:, 0].astype(int), 0, ww - 1)
+                cyw = np.clip(pxw[:, 1].astype(int), 0, hh - 1)
+                on_road = road[cyw, cxw] > 0
+                wlk = np.any((dw < NPC_PROXIMITY) & (angW < degree)
+                             & on_road & wact)
+                if wlk:
+                    cats['walker'] += 1
+                else:
+                    cats['hold/other'] += 1
         greens = int((ls == 0).sum())
         print(f't={tick:4d} stopped={n_stop:3d} in_junction={in_j_ct:2d} '
               f'lights_green={greens:2d}/{ls.shape[0]} reasons={cats}')
