@@ -26,8 +26,17 @@ NPC_THROTTLE_KP = 0.8
 # NPCs queue tighter and pull away harder than the reference's expert
 # predicate (9.5 m cone) — dense-suite junction throughput depends on it.
 # 7.5 m centers = ~2.8 m bumper gap (bboxes are 4.7 m long), enough to
-# brake from queue-creep speeds.
+# brake from queue-creep speeds. Used for the red-light / walker stop
+# distances; vehicle following uses the speed-dependent gap below.
 NPC_PROXIMITY = 7.5
+# speed-dependent car-following gap (center-to-center): base + headway*v.
+# A fixed cone can't do both jobs — 7.5 m keeps queues sparse and slow to
+# drain (NoCrash v5/v6 timeouts), 6.0 m rear-ends stopped queues from
+# full speed (tools/sweep_traffic.py: 3-4/6 ego collisions). At standstill
+# vehicles pack to ~1.3 m bumper gap; at 5.1 m/s cruise the gap is 8.6 m,
+# beyond the ~2 m braking distance.
+NPC_GAP_BASE = 6.0     # m center-to-center at standstill
+NPC_GAP_HEADWAY = 0.5  # s of extra gap per m/s of own speed
 # stopped cross traffic inside a junction blocks inside this radius;
 # must exceed the 4.7 m nose-to-tail contact distance
 NPC_IMMINENT = 5.8
@@ -125,10 +134,11 @@ def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
     all_speed = jnp.concatenate([speed, jnp.ones((1,)) * 10.0], axis=0)
     all_stopped = all_speed < 0.3
 
-    def hazards_one(p, y, my_idx, my_in_junction):
+    def hazards_one(p, y, my_idx, my_in_junction, my_speed):
         others = all_active & (jnp.arange(all_pos.shape[0]) != my_idx)
         same_dir = yaw_difference_deg(y, all_yaw) <= 150.0
-        ahead = within_distance_ahead(all_pos, p, y, NPC_PROXIMITY, 45.0)
+        gap = NPC_GAP_BASE + NPC_GAP_HEADWAY * my_speed
+        ahead = within_distance_ahead(all_pos, p, y, gap, 45.0)
         # deadlock breaker: inside a junction, *stopped* cross traffic only
         # blocks inside a tight corridor (imminent contact) instead of the
         # full cone — a mutual-stop cycle would otherwise gridlock dense
@@ -155,7 +165,7 @@ def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
         return veh_by, light | wlk
 
     veh_by, other_hazard = jax.vmap(hazards_one)(
-        pos, yaw, jnp.arange(pos.shape[0]), in_junction)
+        pos, yaw, jnp.arange(pos.shape[0]), in_junction, speed)
     # --- mutual-block tiebreaker (anti-gridlock, cf. CARLA's junction
     # arbitration): two vehicles stopped on crossing junction connectors
     # can sit inside each other's imminent cone / head-on corridor forever

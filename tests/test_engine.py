@@ -274,3 +274,67 @@ def test_npc_mutual_block_tiebreaker():
         # partner stayed held while the priority car was still close
         one = npc_vehicle_step(pair(yaw1), md, **kw)
         assert float(one.speed[1]) == 0.0, yaw1
+
+
+def test_npc_speed_dependent_following_gap():
+    """Car-following contract (engine/npc.py NPC_GAP_BASE/HEADWAY): an NPC
+    closing on a stopped leader at cruise speed must stop without contact
+    (center gap stays > the 4.7 m bbox length), and the standing queue
+    must pack tighter than the old fixed 7.5 m cone — dense-suite queue
+    drainage depends on the tight pack, NoCrash safety on the no-contact
+    half (tools/sweep_traffic.py measured 3-4/6 ego collisions with a
+    fixed 6.0 m cone)."""
+    import numpy as np
+
+    from lbc_tpu.engine.npc import npc_vehicle_step
+    from lbc_tpu.engine.state import NPCVehicleState
+    from lbc_tpu.maps import build_map_data
+
+    m = build_map_data('Town01')
+    md = jax.tree.map(jnp.asarray, m)
+    wpj = np.asarray(m.wp_junction)
+
+    # a straight >=25-wp single-successor road chain
+    chain = None
+    for i in range(m.wp_pos.shape[0]):
+        if wpj[i] >= 0 or int(m.wp_n_next[i]) != 1:
+            continue
+        c = [i]
+        while (len(c) < 26 and int(m.wp_n_next[c[-1]]) == 1
+               and wpj[int(m.wp_next[c[-1], 0])] < 0):
+            c.append(int(m.wp_next[c[-1], 0]))
+        if len(c) < 26:
+            continue
+        v = m.wp_pos[c[-1]] - m.wp_pos[c[0]]
+        if np.linalg.norm(v) > 24.0:     # nearly straight
+            chain = c
+            break
+    assert chain is not None
+    p0 = np.asarray(m.wp_pos[chain[0]], np.float32)
+    heading = float(np.arctan2(*(m.wp_pos[chain[5]] - p0)[::-1]))
+    leader_pos = np.asarray(m.wp_pos[chain[22]], np.float32)
+
+    # the stationary leader is the EGO (never moves, always blocks)
+    state = NPCVehicleState(
+        pos=jnp.asarray(p0[None], jnp.float32),
+        yaw=jnp.asarray([heading], jnp.float32),
+        speed=jnp.asarray([5.1], jnp.float32),
+        wp=jnp.asarray([chain[1]], jnp.int32),
+        active=jnp.asarray([True]))
+    kw = dict(ego_pos=jnp.asarray(leader_pos, jnp.float32),
+              ego_yaw=jnp.asarray(heading),
+              walker_pos=jnp.zeros((1, 2)) + 1e6,
+              walker_active=jnp.asarray([False]),
+              light_state=jnp.zeros((m.light_pole_pos.shape[0],),
+                                    jnp.int32),
+              seed=jnp.asarray(0, jnp.uint32))
+
+    step = jax.jit(lambda s: npc_vehicle_step(s, md, **kw))
+    min_gap = 1e9
+    for _ in range(150):
+        state = step(state)
+        gap = float(jnp.linalg.norm(jnp.asarray(leader_pos) - state.pos[0]))
+        min_gap = min(min_gap, gap)
+    assert min_gap > 4.8, f'contact: min center gap {min_gap:.2f} m'
+    assert min_gap < 7.4, f'queue too sparse: {min_gap:.2f} m'
+    assert float(state.speed[0]) < 0.3   # settled, not oscillating
