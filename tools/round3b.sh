@@ -58,6 +58,11 @@ if [ ! -d "$P0/model-2" ]; then
 fi
 
 # ---- stage 2: phase 1, crash-resumable ----
+# Deadline escape: with limited round wall-clock left, a benchmarked
+# epoch-128 student beats an unbenchmarked epoch-256 one. If the TPU
+# only comes back after the deadline in /tmp/r3.deadline (epoch secs)
+# and >=96 epochs exist, skip straight to the benchmark tail with the
+# latest checkpoint.
 while [ ! -d "$P1/model-256" ]; do
   last=$(python - <<'PYEOF'
 import os, re
@@ -67,6 +72,12 @@ eps = [int(m.group(1)) for n in (os.listdir(d) if os.path.isdir(d) else [])
 print(max(eps) if eps else -1)
 PYEOF
 )
+  deadline=$(cat /tmp/r3.deadline 2>/dev/null || echo "")
+  if [ -n "$deadline" ] && [ "$(date +%s)" -ge "$deadline" ] \
+     && [ "$last" -ge 96 ]; then
+    stamp "phase-1 deadline passed with model-$last; cutting to tail"
+    break
+  fi
   probe_tpu || { stamp "TPU dead"; exit 1; }
   if [ "$last" -lt 0 ]; then
     stamp "phase 1 from scratch"
@@ -91,7 +102,14 @@ stamp "phase 1 complete"
 
 # ---- stage 3: the benchmark/DAgger tail ----
 probe_tpu || { stamp "TPU dead"; exit 1; }
-PHASE1="$P1/model-256" PHASE2_DIR=ckpts/image_r3b/phase2 \
+BEST=$(python - <<'PYEOF'
+from lbc_tpu.train.checkpoints import latest_checkpoint
+print(latest_checkpoint('ckpts/image_r3b/phase1'))
+PYEOF
+)
+[ -d "$P1/model-256" ] && BEST="$P1/model-256"
+stamp "tail with phase-1 checkpoint: $BEST"
+PHASE1="$BEST" PHASE2_DIR=ckpts/image_r3b/phase2 \
   STAGE1_DIR=benchmark_results/stage1_r3b \
   STAGE2_DIR=benchmark_results/stage2_r3b \
   bash tools/round3_tail.sh 2>&1 | tee /tmp/r3tail_b.log
