@@ -92,7 +92,7 @@ def train(config):
     # does NOT retrace; eager (unjitted) execution dispatched hundreds of
     # ops per batch over the TPU tunnel and churned host memory to OOM
     aug_fn = jax.jit(augment_batch)
-    # epoch_offset: resume point for chunked runs (tools/phase1_chunk.py)
+    # epoch_offset: resume point for crash-resumed runs (tools/round3b.sh)
     # — continues the sampler order, the augmentation anneal clock, and
     # the RNG stream where the previous chunk left off instead of
     # replaying chunk 1's schedule every time

@@ -2,7 +2,8 @@
 
 Round-2 observation: long phase-1 training runs grow host RSS ~7 GB/epoch
 (~7 MB/step — about one input batch per step) until the OOM killer fires;
-worked around by process-chunked training (tools/phase1_chunk.py). This
+worked around in round 2 by process-chunked training (retired; the
+root-cause fix is device-resident training, train/resident.py). This
 isolates which layer keeps host mirrors alive:
 
   python tools/leak_repro.py --variant donate     # train_image pattern
