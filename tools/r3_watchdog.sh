@@ -17,6 +17,11 @@ cd "$(dirname "$0")/.."
 LOG=/tmp/r3b.log
 PIDFILE=/tmp/r3b.pid
 STALE_S=${STALE_S:-2400}   # 40 min: > worst observed tunnel compile
+# What to (re)launch: after the 2026-08-18 reimage wiped ckpts/, the
+# idempotent driver is tools/r3_restart.sh (rebuild teacher, then chain
+# into round3b.sh). Override with RELAUNCH=tools/round3b.sh if the
+# teacher already exists.
+RELAUNCH=${RELAUNCH:-tools/r3_restart.sh}
 stamp() { echo "[watchdog $(date +%H:%M:%S)] $*"; }
 
 descendants() {  # all descendant pids of $1 (ps by ppid — no patterns)
@@ -57,8 +62,8 @@ while :; do
     fi
   else
     # rule 2: relaunch the idempotent driver
-    stamp "round3b not running and tail not DONE — relaunching"
-    nohup bash tools/round3b.sh >> "$LOG" 2>&1 &
+    stamp "pipeline not running and tail not DONE — relaunching $RELAUNCH"
+    nohup bash "$RELAUNCH" >> "$LOG" 2>&1 &
     echo $! > "$PIDFILE"
     stamp "relaunched as $(cat $PIDFILE)"
     sleep 300   # give it time to probe the TPU before re-checking

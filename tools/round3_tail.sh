@@ -19,6 +19,13 @@ STAGE1_DIR=${STAGE1_DIR:-benchmark_results/stage1_r3b}
 STAGE2_DIR=${STAGE2_DIR:-benchmark_results/stage2_r3b}
 stamp "stage-1 checkpoint: $PHASE1"
 [ -z "$PHASE1" -o "$PHASE1" = "None" ] && { stamp "no phase-1 ckpt"; exit 1; }
+TEACHER=${TEACHER:-$(python - <<'PYEOF'
+from lbc_tpu.train.checkpoints import latest_checkpoint
+print(latest_checkpoint('ckpts/priv_full/priv') or '')
+PYEOF
+)}
+stamp "privileged teacher: $TEACHER"
+[ -z "$TEACHER" ] && { stamp "no privileged teacher"; exit 1; }
 
 if [ ! -f /tmp/r3tail.stage1.done ]; then
   for s in FullTown01-v1 FullTown01-v2 FullTown01-v3 FullTown01-v4 \
@@ -50,7 +57,7 @@ fi
 if [ ! -f /tmp/r3tail.dagger.done ]; then
   stamp "DAgger stage 2 (20 episodes, dense Town01, device buffer)"
   python -m lbc_tpu.cli.train_dagger \
-    --teacher-path ckpts/priv_full/priv/model-32 \
+    --teacher-path "$TEACHER" \
     --ckpt "$PHASE1" --log_dir "$PHASE2_DIR" \
     --episodes 20 --episode_length 1000 \
     --epochs_per_episode 5 --batches_per_epoch 100 --batch_size 64 \
@@ -99,7 +106,7 @@ fi
 if [ ! -f /tmp/r3tail.privdagger.done ]; then
   stamp "priv DAgger (fork-expert labels, device buffer, regular traffic)"
   python -m lbc_tpu.cli.train_priv_dagger \
-    --ckpt ckpts/priv_full/priv/model-32 \
+    --ckpt "$TEACHER" \
     --log_dir ckpts/priv_dagger_r3 \
     --episodes 20 --episode_length 1000 --n_envs 4 \
     --n_vehicles 20 --n_pedestrians 50 \

@@ -11,7 +11,15 @@ cd "$(dirname "$0")/.."
 stamp() { echo "[r3b $(date +%H:%M:%S)] $*"; }
 
 DATA=ckpts/image_r3/data
-TEACHER=ckpts/priv_full/priv/model-32
+# Teacher: latest privileged checkpoint (model-32 in both the round-2 and
+# the post-reimage rebuilds, but resolve dynamically to survive retrains).
+TEACHER=$(python - <<'PYEOF'
+from lbc_tpu.train.checkpoints import latest_checkpoint
+print(latest_checkpoint('ckpts/priv_full/priv') or '')
+PYEOF
+)
+[ -z "$TEACHER" ] && { stamp "no privileged teacher checkpoint"; exit 1; }
+stamp "teacher: $TEACHER"
 P0=ckpts/image_r3b/phase0
 P1=ckpts/image_r3b/phase1
 
