@@ -69,7 +69,7 @@ fi
 # Deadline escape: with limited round wall-clock left, a benchmarked
 # epoch-128 student beats an unbenchmarked epoch-256 one. If the TPU
 # only comes back after the deadline in /tmp/r3.deadline (epoch secs)
-# and >=96 epochs exist, skip straight to the benchmark tail with the
+# and >=64 epochs exist, skip straight to the benchmark tail with the
 # latest checkpoint.
 while [ ! -d "$P1/model-256" ]; do
   last=$(python - <<'PYEOF'
@@ -82,7 +82,7 @@ PYEOF
 )
   deadline=$(cat /tmp/r3.deadline 2>/dev/null || echo "")
   if [ -n "$deadline" ] && [ "$(date +%s)" -ge "$deadline" ] \
-     && [ "$last" -ge 96 ]; then
+     && [ "$last" -ge 64 ]; then
     stamp "phase-1 deadline passed with model-$last; cutting to tail"
     break
   fi
