@@ -313,8 +313,11 @@ class RoadNetwork:
         CARLA places the European-style pole near the stop line of its
         approach (agent.py:95-131 checks same road/lane within 10 m, 60
         degrees). We bind each pole to the non-junction lane whose *end
-        point* (= junction entry) is nearest, and phase-group lights by
-        junction node round-robin.
+        point* (= junction entry) is nearest, and phase-group lights per
+        junction by opposing approach: ~parallel (mod 180 deg) headings
+        share a green phase, the perpendicular group gets the other (see
+        the phase-index block below — this correlation is what makes the
+        far-side head a learnable cue for the image agent).
         """
         ends = []
         for seg in self.segments:

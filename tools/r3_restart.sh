@@ -10,18 +10,7 @@ set -u
 cd "$(dirname "$0")/.."
 stamp() { echo "[r3restart $(date +%H:%M:%S)] $*"; }
 
-probe_tpu() {
-  for i in $(seq 1 40); do
-    if timeout 300 python - <<'PYEOF' >/dev/null 2>&1
-import jax, jax.numpy as jnp
-x = jax.jit(lambda a: a @ a)(jnp.ones((128, 128)))
-x.block_until_ready()
-PYEOF
-    then return 0; fi
-    stamp "TPU probe failed ($i), retrying in 60s"; sleep 60
-  done
-  return 1
-}
+. tools/tpu_probe.sh
 
 # ---- A. privileged dataset + teacher --------------------------------
 # Teacher done = a model-32 (or later) checkpoint under priv_full/priv.
@@ -32,11 +21,15 @@ print(latest_epoch('ckpts/priv_full/priv'))
 PYEOF
 }
 ep=$(teacher_epoch)
+# a failed probe must force the rebuild path, not silently skip it
+case "$ep" in ''|*[!0-9-]*) ep=-1;; esac
 if [ "$ep" -lt 32 ]; then
   flags=""
   n_data=$(ls ckpts/priv_full/data 2>/dev/null | wc -l)
-  # 112 train episodes expected (40 dense + 40 regular + 32 empty)
-  if [ "$n_data" -ge 100 ] && [ "$(ls ckpts/priv_full/data_val 2>/dev/null | wc -l)" -ge 8 ]; then
+  # 112 train episodes expected (40 dense + 40 regular + 32 empty);
+  # gate on the full count: the empty tranche collects last, so a
+  # mid-collection crash would otherwise train on a mix-skewed set
+  if [ "$n_data" -ge 112 ] && [ "$(ls ckpts/priv_full/data_val 2>/dev/null | wc -l)" -ge 8 ]; then
     flags="--skip-collect"
     stamp "privileged data already on disk ($n_data episodes); training only"
   else

@@ -23,18 +23,7 @@ stamp "teacher: $TEACHER"
 P0=ckpts/image_r3b/phase0
 P1=ckpts/image_r3b/phase1
 
-probe_tpu() {
-  for i in $(seq 1 40); do
-    if timeout 300 python - <<'PYEOF' >/dev/null 2>&1
-import jax, jax.numpy as jnp
-x = jax.jit(lambda a: a @ a)(jnp.ones((128, 128)))
-x.block_until_ready()
-PYEOF
-    then return 0; fi
-    stamp "TPU probe failed ($i), retrying in 60s"; sleep 60
-  done
-  return 1
-}
+. tools/tpu_probe.sh
 
 # ---- stage 0: wait for collection ----
 while :; do
@@ -67,10 +56,10 @@ fi
 
 # ---- stage 2: phase 1, crash-resumable ----
 # Deadline escape: with limited round wall-clock left, a benchmarked
-# epoch-128 student beats an unbenchmarked epoch-256 one. If the TPU
-# only comes back after the deadline in /tmp/r3.deadline (epoch secs)
-# and >=64 epochs exist, skip straight to the benchmark tail with the
-# latest checkpoint.
+# partly-trained student beats an unbenchmarked fully-trained one. The
+# floor sits at 64 epochs (not 96/128) because the 2026-08-18 cold
+# restart ate most of the round: past the deadline in /tmp/r3.deadline
+# (epoch secs), any student >=64 epochs cuts straight to the tail.
 while [ ! -d "$P1/model-256" ]; do
   last=$(python - <<'PYEOF'
 import os, re
