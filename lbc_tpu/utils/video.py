@@ -52,3 +52,39 @@ def save_video(path, frames, fps: int = 20):
     for f in frames:
         w.add(f)
     w.close()
+
+
+class GifMaker:
+    """Keyed debug-GIF accumulator (reference: bz_utils/gif_maker.py).
+
+    Frames accumulate per key across arbitrary call sites; `save`
+    encodes and drops the key. Instantiate for scoped use, or use the
+    module-level `gif` instance to match the reference's global API.
+    """
+
+    def __init__(self, default_dir='debug'):
+        self.default_dir = default_dir
+        self._frames = {}
+
+    def add(self, key, frame):
+        frame = np.asarray(frame)
+        self._frames.setdefault(key, []).append(frame.copy())
+
+    def save(self, key, save_dir=None, save_path=None, fps: int = 10):
+        out = Path(save_dir or self.default_dir) / (save_path
+                                                    or f'{key}.gif')
+        save_gif(out, self._frames[key], fps=fps)
+        self.clear(key)
+        return out
+
+    def clear(self, key=None):
+        if key is None:
+            self._frames.clear()
+        else:
+            self._frames.pop(key, None)
+
+    def __len__(self):
+        return len(self._frames)
+
+
+gif = GifMaker()

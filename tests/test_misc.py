@@ -73,6 +73,22 @@ def test_video_writer(tmp_path):
     assert (tmp_path / 'x.gif').stat().st_size > 0
 
 
+def test_gif_maker_keyed_accumulator(tmp_path):
+    from lbc_tpu.utils.video import GifMaker
+    g = GifMaker(default_dir=tmp_path)
+    for i in range(4):
+        g.add('a', np.full((16, 16, 3), i * 30, np.uint8))
+        g.add('b', np.zeros((8, 8, 3), np.uint8))
+    out = g.save('a')
+    assert out == tmp_path / 'a.gif' and out.stat().st_size > 0
+    assert len(g) == 1            # 'a' dropped after save, 'b' remains
+    out_b = g.save('b', save_dir=tmp_path / 'sub', save_path='named.gif')
+    assert out_b.exists() and len(g) == 0
+    g.add('c', np.zeros((4, 4, 3), np.uint8))
+    g.clear()
+    assert len(g) == 0
+
+
 def test_baseline_agent_launch_hack(env):
     from lbc_tpu.agents.baseline import (baseline_agent_init,
                                          make_baseline_agent)
