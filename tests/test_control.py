@@ -144,3 +144,65 @@ def test_birdview_control_batched_matches_single_and_brakes():
                                atol=1e-6)
     assert float(c_b[0, 2]) == 1.0      # full brake
     assert float(c_b[1, 1]) > 0.0      # throttle when moving on
+
+
+def _legacy_oracle(errors, kp, ki, kd, dt, window):
+    """The upstream controller.py formula, deque and all."""
+    buf = deque(maxlen=window)
+    out = []
+    for e in errors:
+        buf.append(e)
+        if len(buf) >= 2:
+            de = (buf[-1] - buf[-2]) / dt
+            ie = sum(buf) * dt
+        else:
+            de, ie = 0.0, 0.0
+        out.append(kp * e + kd * de / dt + ki * ie * dt)
+    return np.array(out)
+
+
+def test_legacy_vehicle_pid_matches_upstream_formula():
+    from lbc_tpu.control import (LegacyPIDParams, legacy_controller_init,
+                                 vehicle_pid_step)
+    rng = np.random.RandomState(0)
+    params = LegacyPIDParams(lat_kp=0.7, lat_ki=0.05, lat_kd=0.2,
+                             lon_kp=0.9, lon_ki=0.03, lon_kd=0.1, dt=0.1)
+    state = legacy_controller_init()
+    step = jax.jit(vehicle_pid_step)
+
+    pos = jnp.zeros(2)
+    speeds = rng.uniform(0.0, 9.0, 40)
+    targets = rng.uniform(0.0, 9.0, 40)
+    # waypoints scattered around the (fixed, yaw=0) vehicle
+    wps = rng.uniform(-20, 20, (40, 2))
+    steers, throttles = [], []
+    for i in range(40):
+        state, steer, throttle = step(state, pos, jnp.float32(0.0),
+                                      speeds[i], targets[i], wps[i],
+                                      params)
+        steers.append(float(steer))
+        throttles.append(float(throttle))
+
+    # oracle errors: speed error; signed heading-to-waypoint angle
+    lon_err = targets - speeds
+    ang = np.arccos(np.clip(wps[:, 0] / np.linalg.norm(wps, axis=1),
+                            -1, 1)) * np.sign(wps[:, 1])
+    ref_thr = np.clip(_legacy_oracle(lon_err, params.lon_kp, params.lon_ki,
+                                     params.lon_kd, params.dt, 30), 0, 1)
+    ref_str = np.clip(_legacy_oracle(ang, params.lat_kp, params.lat_ki,
+                                     params.lat_kd, params.dt, 10), -1, 1)
+    np.testing.assert_allclose(throttles, ref_thr, atol=1e-4)
+    np.testing.assert_allclose(steers, ref_str, atol=1e-4)
+
+
+def test_legacy_vehicle_pid_batched():
+    from lbc_tpu.control import legacy_controller_init, vehicle_pid_step
+    state = legacy_controller_init(batch_shape=(4,))
+    pos = jnp.zeros((4, 2))
+    yaw = jnp.zeros((4,))
+    wp = jnp.tile(jnp.array([[10.0, 1.0]]), (4, 1))
+    state, steer, throttle = vehicle_pid_step(
+        state, pos, yaw, jnp.zeros(4), jnp.full((4,), 5.0), wp)
+    assert steer.shape == (4,) and throttle.shape == (4,)
+    assert np.all(np.asarray(throttle) > 0)   # below target speed
+    assert np.all(np.asarray(steer) > 0)      # waypoint to the +cross side
