@@ -8,7 +8,10 @@
 set -u
 cd "$(dirname "$0")/.."
 MSG="$1"; shift
-SIZE_CAP_MB=${SIZE_CAP_MB:-300}
+# 512 covers a resnet34 TrainState (params + Adam moments) in fp32;
+# durable flagship checkpoints are worth the repo weight after two
+# reimage wipes
+SIZE_CAP_MB=${SIZE_CAP_MB:-512}
 paths=()
 for p in "$@"; do
   [ -e "$p" ] || { echo "commit_artifact: missing $p, skipping"; continue; }
