@@ -27,6 +27,15 @@ bench() {  # bench <log-dir> <suite> [extra args...]
     || { stamp "bench $suite FAILED"; exit 1; }
 }
 
+# ---- 0. perf accounting (VERDICT #6): one bench + stage breakdown ----
+if [ ! -f /tmp/r4tail.profile.done ]; then
+  stamp "bench.py + profile_breakdown (regression accounting)"
+  python bench.py 2>&1 | tee /tmp/r4_bench.log
+  python tools/profile_breakdown.py --steps 100 2>&1 \
+    | tee /tmp/r4_profile.log
+  touch /tmp/r4tail.profile.done
+fi
+
 # ---- 1. stage-1 core matrix ----
 if [ ! -f /tmp/r4tail.stage1.done ]; then
   for s in FullTown01-v1 FullTown01-v2 FullTown01-v3 FullTown01-v4 \
@@ -171,11 +180,14 @@ if [ ! -f /tmp/r4tail.seeds.done ] && [ -n "$PHASE2" ]; then
   touch /tmp/r4tail.seeds.done
 fi
 
-# ---- 6c. expert multi-seed on the new-weather rows ----
+# ---- 6c. expert multi-seed: new-weather rows + the T02 train-weather
+# seeds missing since round 2 (reference protocol: all NoCrash rows are
+# mean +/- std over seeds 0,1,2) ----
 if [ ! -f /tmp/r4tail.expertseeds.done ]; then
   for seed in 1 2; do
     for s in NoCrashTown01-v2 NoCrashTown01-v4 NoCrashTown01-v6 \
-             NoCrashTown02-v2 NoCrashTown02-v4 NoCrashTown02-v6; do
+             NoCrashTown02-v2 NoCrashTown02-v4 NoCrashTown02-v6 \
+             NoCrashTown02-v1 NoCrashTown02-v3; do
       stamp "expert bench $s seed $seed"
       python -m lbc_tpu.cli.benchmark_agent --batch-size 100 --seed "$seed" \
         --suite "$s" --autopilot --log-dir benchmark_results/expert_r4 \
