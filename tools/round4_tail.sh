@@ -33,6 +33,8 @@ if [ ! -f /tmp/r4tail.profile.done ]; then
   python bench.py 2>&1 | tee /tmp/r4_bench.log
   python tools/profile_breakdown.py --steps 100 2>&1 \
     | tee /tmp/r4_profile.log
+  # batch-size frontier: is 1024 leaving the chip underfed?
+  python bench.py --batch 2048 --steps 250 2>&1 | tee /tmp/r4_bench2048.log
   touch /tmp/r4tail.profile.done
 fi
 
