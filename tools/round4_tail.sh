@@ -189,7 +189,9 @@ if [ ! -f /tmp/r4tail.expertseeds.done ]; then
   for seed in 1 2; do
     for s in NoCrashTown01-v2 NoCrashTown01-v4 NoCrashTown01-v6 \
              NoCrashTown02-v2 NoCrashTown02-v4 NoCrashTown02-v6 \
-             NoCrashTown02-v1 NoCrashTown02-v3; do
+             NoCrashTown02-v1 NoCrashTown02-v3 \
+             NoCrashTown01-v1 NoCrashTown01-v3 NoCrashTown01-v5 \
+             NoCrashTown02-v5; do
       stamp "expert bench $s seed $seed"
       python -m lbc_tpu.cli.benchmark_agent --batch-size 100 --seed "$seed" \
         --suite "$s" --autopilot --log-dir benchmark_results/expert_r4 \
