@@ -28,14 +28,25 @@ bench() {  # bench <log-dir> <suite> [extra args...]
 }
 
 # ---- 0. perf accounting (VERDICT #6): one bench + stage breakdown ----
+# This is the round's only guaranteed-exclusive TPU window (between
+# phase-1 and the benchmark queue), so the numbers are committed as the
+# canonical uncontended measurement: the driver's end-of-round bench can
+# race a still-running tail stage on this 1-core host (that contention
+# is what produced BENCH_r03's 11.6% "regression").
 if [ ! -f /tmp/r4tail.profile.done ]; then
   stamp "bench.py + profile_breakdown (regression accounting)"
+  mkdir -p benchmark_results/perf_r4
   python bench.py 2>&1 | tee /tmp/r4_bench.log
   python tools/profile_breakdown.py --steps 100 2>&1 \
     | tee /tmp/r4_profile.log
   # batch-size frontier: is 1024 leaving the chip underfed?
   python bench.py --batch 2048 --steps 250 2>&1 | tee /tmp/r4_bench2048.log
+  cp /tmp/r4_bench.log /tmp/r4_profile.log /tmp/r4_bench2048.log \
+     benchmark_results/perf_r4/
   touch /tmp/r4tail.profile.done
+  bash tools/commit_artifact.sh \
+    "Uncontended perf accounting: bench + stage breakdown + batch frontier" \
+    benchmark_results/perf_r4
 fi
 
 # ---- 1. stage-1 core matrix ----
