@@ -63,13 +63,20 @@ fi
 # ---- 2a. DAgger phase 2 ----
 if [ ! -f /tmp/r4tail.dagger.done ]; then
   stamp "DAgger stage 2 (20 episodes, dense Town01, device buffer)"
-  python -m lbc_tpu.cli.train_dagger \
-    --teacher-path "$TEACHER" \
-    --ckpt "$PHASE1" --log_dir "$PHASE2_DIR" \
-    --episodes 20 --episode_length 1000 \
-    --epochs_per_episode 5 --batches_per_epoch 100 --batch_size 64 \
-    --capacity 40000 \
-    --device-buffer || { stamp "dagger FAILED"; exit 1; }
+  # capacity 40000 = ~7.4 GB HBM (184.5 kB/frame, donated updates); if the
+  # chip OOMs anyway, retry once at 24000 (~4.4 GB) instead of letting the
+  # watchdog crash-loop this marker-gated stage forever
+  dagger_run() {
+    python -m lbc_tpu.cli.train_dagger \
+      --teacher-path "$TEACHER" \
+      --ckpt "$PHASE1" --log_dir "$PHASE2_DIR" \
+      --episodes 20 --episode_length 1000 \
+      --epochs_per_episode 5 --batches_per_epoch 100 --batch_size 64 \
+      --capacity "$1" \
+      --device-buffer
+  }
+  dagger_run 40000 || { stamp "dagger failed at cap 40000; retry at 24000"; \
+    dagger_run 24000; } || { stamp "dagger FAILED"; exit 1; }
   touch /tmp/r4tail.dagger.done
 fi
 PHASE2=$(python - <<PYEOF
