@@ -16,6 +16,14 @@ import argparse
 import sys
 from pathlib import Path
 
+# Host-side pandas job — force the CPU backend BEFORE any lbc_tpu import
+# (the bench package pulls in the engine, whose module-scope jnp constants
+# would otherwise initialize the tunneled TPU client and contend with a
+# live training job; same pattern as tests/conftest.py).
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 # Reference per-suite success rates (BASELINE.md; reference README.md
