@@ -72,12 +72,25 @@ def walker_step(walkers: WalkerState, map_data, ego_pos, key,
         axis=-1)
     cand_pos = pos[:, None, :] + cand_dir * step[:, None, None]
 
-    # gate 1 — walkable band: reject candidates that exit it
-    px = jnp.round((cand_pos - map_data.world_offset) * PIXELS_PER_METER)
+    # gate 1 — walkable band: reject candidates that exit it.
+    # step < 0.2 m = < 1 px at 5 px/m, so every candidate pixel sits in
+    # the 3x3 neighborhood of the current pixel: ONE uint32 gather from
+    # the packed nav raster (maps/map_data.py:_pack_nav_raster) answers
+    # the walkable gate here plus the road-entry/on-road tests below —
+    # the per-candidate (P, K) raster gathers it replaces were the
+    # round-3 throughput regression (random HBM gathers, batch-scaled).
     h, w = map_data.walkable_raster.shape
+    cur_px = jnp.round((pos - map_data.world_offset) * PIXELS_PER_METER)
+    cx0 = jnp.clip(cur_px[:, 0].astype(jnp.int32), 0, w - 1)
+    cy0 = jnp.clip(cur_px[:, 1].astype(jnp.int32), 0, h - 1)
+    nav = map_data.nav_raster[cy0, cx0]                 # (P,) uint32
+    px = jnp.round((cand_pos - map_data.world_offset) * PIXELS_PER_METER)
     cx = jnp.clip(px[..., 0].astype(jnp.int32), 0, w - 1)
     cy = jnp.clip(px[..., 1].astype(jnp.int32), 0, h - 1)
-    ok = map_data.walkable_raster[cy, cx] > 0          # (P, K)
+    dxy = jnp.clip(cx - cx0[:, None], -1, 1), jnp.clip(cy - cy0[:, None],
+                                                       -1, 1)
+    bit = ((dxy[1] + 1) * 3 + (dxy[0] + 1)).astype(jnp.uint32)  # (P, K)
+    ok = ((nav[:, None] >> bit) & 1) > 0                # (P, K) walkable
 
     # navmesh-agent-like yield: a walker stops 3 m short of a vehicle
     # moving at real driving speed — and only when it is actually in that
@@ -139,17 +152,11 @@ def walker_step(walkers: WalkerState, map_data, ego_pos, key,
         # walker strolling off the curb into the rear corner of a passing
         # car (outside every hazard cone; nothing in the expert can brake
         # for it). Walkers already on the road (mid-crossing) are not
-        # gated — they clear the lane fastest by continuing.
-        on_road_px = jnp.round((cand_pos - map_data.world_offset)
-                               * PIXELS_PER_METER)
-        rx = jnp.clip(on_road_px[..., 0].astype(jnp.int32), 0, w - 1)
-        ry = jnp.clip(on_road_px[..., 1].astype(jnp.int32), 0, h - 1)
-        cand_on_road = map_data.road_raster[ry, rx] > 0
-        cur_px = jnp.round((pos - map_data.world_offset)
-                           * PIXELS_PER_METER)
-        cx0 = jnp.clip(cur_px[:, 0].astype(jnp.int32), 0, w - 1)
-        cy0 = jnp.clip(cur_px[:, 1].astype(jnp.int32), 0, h - 1)
-        already_on_road = map_data.road_raster[cy0, cx0] > 0
+        # gated — they clear the lane fastest by continuing. Road bits
+        # come from the same packed-nav gather as gate 1 (bit 9+b;
+        # center cell b=4).
+        cand_on_road = ((nav[:, None] >> (bit + jnp.uint32(9))) & 1) > 0
+        already_on_road = ((nav >> jnp.uint32(13)) & 1) > 0
         traffic_near = jnp.any((d2 < 6.0 ** 2) & moving[None, None, :]
                                & va[None, None, :], axis=-1)
         entering_danger = cand_on_road & traffic_near \

@@ -27,6 +27,10 @@ class MapData(NamedTuple):
     road_raster: np.ndarray       # (H, W) uint8 {0,1}
     lane_raster: np.ndarray       # (H, W) uint8 {0,1}
     walkable_raster: np.ndarray   # (H, W) uint8 {0,1}: road + sidewalk band
+    nav_raster: np.ndarray        # (H, W) uint32: 3x3-neighborhood pack of
+    # (walkable, road) — bit (dy+1)*3+(dx+1) = walkable, bit 9+same = road,
+    # edge-replicated. One gather at a walker's pixel answers every
+    # +-1-px candidate query (engine/walkers.py)
     world_offset: np.ndarray      # (2,) f32; pixel = 5 * (world - offset)
     # waypoint lattice
     wp_pos: np.ndarray            # (N, 2) f32
@@ -103,6 +107,31 @@ def rasterize(net: RoadNetwork):
     return road, lane, walkable
 
 
+def _pack_nav_raster(walkable: np.ndarray, road: np.ndarray) -> np.ndarray:
+    """3x3-neighborhood bit-pack of (walkable, road), edge-replicated.
+
+    out[y, x] bit (dy+1)*3+(dx+1)     = walkable[clip(y+dy), clip(x+dx)]
+    out[y, x] bit 9 + (dy+1)*3+(dx+1) = road[clip(y+dy), clip(x+dx)]
+
+    A walker moves < 0.2 m/tick (< 1 px at 5 px/m), so every sidestep
+    candidate pixel lies in this neighborhood: ONE uint32 gather per
+    walker replaces three per-candidate raster gathers in
+    engine/walkers.py — random HBM gathers scale with batch size and were
+    ~45%% of the env step at batch 1024 on TPU."""
+    h, w = walkable.shape
+    out = np.zeros((h, w), np.uint32)
+    ys0, xs0 = np.arange(h), np.arange(w)
+    bit = 0
+    for dy in (-1, 0, 1):
+        ys = np.clip(ys0 + dy, 0, h - 1)
+        for dx in (-1, 0, 1):
+            xs = np.clip(xs0 + dx, 0, w - 1)
+            out |= (walkable[ys][:, xs] > 0).astype(np.uint32) << bit
+            out |= (road[ys][:, xs] > 0).astype(np.uint32) << (9 + bit)
+            bit += 1
+    return out
+
+
 def _nearest_grid(net: RoadNetwork, h_m: float, w_m: float):
     gh = int(np.ceil(h_m / GRID_CELL)) + 1
     gw = int(np.ceil(w_m / GRID_CELL)) + 1
@@ -174,6 +203,7 @@ def build_map_data(town: str) -> MapData:
         road_raster=road,
         lane_raster=lane,
         walkable_raster=walkable,
+        nav_raster=_pack_nav_raster(walkable, road),
         world_offset=net.world_offset.astype(np.float32),
         wp_pos=net.wp_pos.astype(np.float32),
         wp_yaw=net.wp_yaw.astype(np.float32),
