@@ -35,6 +35,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--batch', type=int, default=1024)
     ap.add_argument('--steps', type=int, default=100)
+    ap.add_argument('--env-substages', action='store_true',
+                    help='also isolate walker vs NPC cost inside the env '
+                         'step by timing expert rollouts with the walker/'
+                         'vehicle sets shrunk to 1 lane (static shapes -> '
+                         'XLA drops the compute); 2 extra compiles')
     args = ap.parse_args()
 
     import jax
@@ -66,6 +71,26 @@ def main():
         return expert_step(m, s, a)
     a0 = jax.tree.map(lambda x: jnp.stack([x] * B), expert_init())
     t_env = timed(make_rollout(env, exp_step, S), (batch, a0))
+
+    # --- env substages: walker / NPC isolation by shape shrinking ---
+    if args.env_substages:
+        def env_time(n_veh, n_ped):
+            e = DrivingEnv(EnvConfig(town='Town01', n_vehicles=n_veh,
+                                     n_pedestrians=n_ped))
+            ps = [e.reset_np(seed=s, start=11 * s + 7, target=11 * s + 60)
+                  for s in range(8)]
+            b = stack_states(ps)
+            b = jax.tree.map(
+                lambda x: jnp.tile(x, (reps,) + (1,) * (x.ndim - 1))[:B], b)
+            return timed(make_rollout(e, exp_step, S), (b, a0))
+
+        t_noped = env_time(20, 0)   # max_walkers clamps to 1: ~1/50 cost
+        t_noveh = env_time(0, 50)
+        print(f'env w/o walkers: {t_noped:.3f}s '
+              f'(walkers ~{1e6 * (t_env - t_noped) / (B * S):.2f} '
+              f'us/env-step)')
+        print(f'env w/o NPCs   : {t_noveh:.3f}s '
+              f'(NPCs ~{1e6 * (t_env - t_noveh) / (B * S):.2f} us/env-step)')
 
     # --- env + render (no net) ---
     def render_step(map_data, env_states, obs, agent_states):
