@@ -72,7 +72,25 @@ def expert_step(map_data, env_state, agent_state: ExpertState):
     h_walk = walker_hazard(ego.pos, ego.yaw, env_state.walkers.pos,
                            env_state.walkers.active,
                            map_data.road_raster, map_data.world_offset)
-    hazard = h_veh | h_light | h_walk
+    # junction-entry hold (mirror of the NPC gate in engine/npc.py): do
+    # not enter while an NPC is committed to a conflicting connector —
+    # entering against the oncoming straight that shares our green would
+    # end nose-to-nose mid-box, a state neither party can legally leave
+    from ..engine.npc import EGO_ENTRY_HOLD, junction_occupancy
+    from ..engine.routing import intended_connector
+    res_j, res_cmask, res_d = intended_connector(map_data, env_state.route,
+                                                 ego.pos)
+    occ_bits, _ = junction_occupancy(map_data, env_state.npc.wp,
+                                     env_state.npc.active)
+    conf_row = map_data.junction_conflict[jnp.maximum(res_j, 0)]  # (K,)
+    n_k = conf_row.shape[0]
+    conf = jnp.uint32(0)
+    for k in range(n_k):  # static K; OR conflict sets of reserved conns
+        conf = conf | jnp.where((res_cmask >> k) & 1, conf_row[k],
+                                jnp.uint32(0))
+    h_entry = (res_j >= 0) & ~in_junction & (res_d < EGO_ENTRY_HOLD) \
+        & ((occ_bits[jnp.maximum(res_j, 0)] & conf) != 0)
+    hazard = h_veh | h_light | h_walk | h_entry
 
     steer = jnp.clip(steer, -1.0, 1.0)
     throttle = jnp.clip(throttle, 0.0, 1.0)

@@ -24,9 +24,10 @@ from .collision import (ego_lane_invasion, ego_static_collision,
                         ego_vehicle_collision, ego_walker_collision)
 from .dynamics import DEFAULT_DYNAMICS, DynamicsParams, bicycle_step
 from .lights import PHASE_S, RED, light_states
-from .npc import npc_vehicle_step
-from .routing import (MAX_ROUTE, distance_to_goal, make_route_state,
-                      route_step, route_target, route_timeout_frames)
+from .npc import EGO_RESERVE_DIST, npc_vehicle_step
+from .routing import (MAX_ROUTE, distance_to_goal, intended_connector,
+                      make_route_state, route_step, route_target,
+                      route_timeout_frames)
 from .state import (EgoState, EnvState, EpisodeState, NPCVehicleState,
                     RouteState, WalkerState)
 from .walkers import walker_step
@@ -137,6 +138,8 @@ class DrivingEnv:
             target=jnp.asarray(ws[wtgt_idx].astype(np.float32)),
             target_idx=jnp.asarray(wtgt_idx.astype(np.int32)),
             stuck_ticks=jnp.zeros((p,), jnp.int32),
+            anchor=jnp.asarray(wpos),
+            anchor_ticks=jnp.zeros((p,), jnp.int32),
             active=jnp.asarray(np.arange(p) < cfg.n_pedestrians))
 
         n_junctions = len(self.map_np.junction_n_phases)
@@ -188,10 +191,22 @@ class DrivingEnv:
         lstate = light_states(m.light_junction, m.light_phase,
                               m.junction_n_phases, ep.light_t0, tick)
 
+        # the ego reserves its planned junction connector(s) while bearing
+        # down on the entry — and for as long as it is inside — so NPCs
+        # yield to it like to a committed vehicle (engine/npc.py junction
+        # gate); a stopped ego outside (e.g. at a red light) reserves
+        # nothing and cross traffic flows
+        res_j, res_c, res_d = intended_connector(m, state.route, pos)
+        from .routing import nearest_waypoint
+        ego_inside = m.wp_junction[nearest_waypoint(
+            m.grid_idx, m.world_offset, pos)] >= 0
+        reserve = (res_j >= 0) & (
+            ego_inside | ((res_d < EGO_RESERVE_DIST) & (speed > 1.0)))
         npc = npc_vehicle_step(
             state.npc, m, pos, yaw, state.walkers.pos, state.walkers.active,
             lstate, jnp.sum(ep.rng) + tick.astype(jnp.uint32),
-            self.dynamics)
+            self.dynamics,
+            ego_res_j=jnp.where(reserve, res_j, -1), ego_res_c=res_c)
         walkers = walker_step(state.walkers, m, pos, k_walk,
                               vehicle_pos=npc.pos,
                               vehicle_active=npc.active,

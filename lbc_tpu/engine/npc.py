@@ -41,18 +41,24 @@ NPC_GAP_HEADWAY = 0.5  # s of extra gap per m/s of own speed
 # must exceed the 4.7 m nose-to-tail contact distance
 NPC_IMMINENT = 5.8
 # junction-entry gate (anti-gridlock, "don't block the box"): hold at the
-# junction boundary while stopped traffic sits inside it or it is at
-# vehicle capacity. CARLA's server autopilot sequences junction entry
-# the same way; the round-2 CoRL Nav-Dynamic timeouts were all queue
-# spillback from junctions that vehicles entered and then blocked.
+# junction boundary while a CONFLICTING movement occupies the box (cross
+# or merge per maps/map_data.py:_connector_tables) or the box is at
+# vehicle capacity. CARLA's traffic manager sequences junction entry
+# server-side; this is the table-driven analog. Gating on conflicting
+# *connectors* (instead of round-3's any-stopped-vehicle-inside rule)
+# both prevents the mid-junction nose-to-nose deadlocks that collapsed
+# the dense NoCrash suites (a left turn entered against the oncoming
+# straight that shares its green under opposing-phase lights, then both
+# held each other forever) and lets non-conflicting movements flow
+# concurrently.
 NPC_JUNCTION_CAP = 4
 NPC_ENTRY_HOLD = 4.5   # m from the last road waypoint to start holding
-# gate on "any stopped vehicle inside" in addition to the capacity cap.
-# Python-level flag folded at trace time; tools/sweep_traffic.py measures
-# both settings (with the mutual-block tiebreaker, vehicles inside a
-# junction stop only transiently, so the stopped-gate mostly costs
-# throughput).
-NPC_GATE_ON_STOPPED = True
+# the ego reserves its planned connector this far ahead of the entry (so
+# NPCs yield to an approaching ego exactly like to one already inside)
+EGO_RESERVE_DIST = 12.0
+# the expert holds for conflicting junction traffic this far before the
+# entry (stops from 6 m/s with ~2 m margin at the fitted brake curve)
+EGO_ENTRY_HOLD = 9.0
 
 
 def _hash01(a, b, c):
@@ -65,10 +71,50 @@ def _hash01(a, b, c):
     return (x & jnp.uint32(0xFFFFFF)).astype(jnp.float32) / float(1 << 24)
 
 
+def junction_occupancy(map_data, veh_wp, veh_active, extras=()):
+    """Per-junction connector occupancy from target waypoints.
+
+    Returns (occ_bits (J,) uint32 — bit k set iff connector k of the
+    junction has a committed vehicle — and occ_total (J,) int32).
+    `extras`: (junction, conn_bitmask) scalar pairs for occupants not in
+    the waypoint bank — the ego's snapped connector and its route-based
+    reservation (engine.routing.intended_connector).
+    """
+    wpj = map_data.wp_junction
+    wpc = map_data.wp_conn
+    n_j = map_data.junction_n_phases.shape[0]
+    n_k = map_data.junction_conflict.shape[1]
+    cur_j = wpj[veh_wp]
+    cur_c = jnp.maximum(wpc[veh_wp], 0)
+    inside = (cur_j >= 0) & veh_active
+    occ_cnt = jnp.zeros((n_j, n_k), jnp.int32).at[
+        jnp.where(inside, cur_j, n_j), cur_c].add(1, mode='drop')
+    kbits = jnp.arange(n_k, dtype=jnp.uint32)
+    occ_bits = jnp.sum(
+        jnp.where(occ_cnt > 0, jnp.uint32(1) << kbits[None, :],
+                  jnp.uint32(0)), axis=1, dtype=jnp.uint32)
+    occ_total = jnp.sum(occ_cnt, axis=1)
+    for ex_j, ex_mask in extras:
+        jj = jnp.maximum(ex_j, 0)
+        present = ex_j >= 0
+        occ_bits = occ_bits.at[jj].set(
+            jnp.where(present, occ_bits[jj] | ex_mask.astype(jnp.uint32),
+                      occ_bits[jj]))
+        occ_total = occ_total.at[jj].add(present.astype(jnp.int32))
+    return occ_bits, occ_total
+
+
 def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
                      walker_pos, walker_active, light_state, seed,
-                     dynamics=DEFAULT_DYNAMICS) -> NPCVehicleState:
-    """One tick for all NPC vehicles of one env (vmap over envs outside)."""
+                     dynamics=DEFAULT_DYNAMICS,
+                     ego_res_j=None, ego_res_c=None) -> NPCVehicleState:
+    """One tick for all NPC vehicles of one env (vmap over envs outside).
+
+    ego_res_j/ego_res_c: the ego's junction connector reservation
+    (scalars: junction id or -1, connector BITMASK), from
+    engine.routing.intended_connector — an approaching or inside ego
+    holds conflicting NPC entries exactly like a committed NPC would.
+    """
     wp_pos = map_data.wp_pos
     wp_next = map_data.wp_next
     wp_n_next = map_data.wp_n_next
@@ -76,29 +122,34 @@ def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
 
     pos, yaw, speed, wp = npc.pos, npc.yaw, npc.speed, npc.wp
 
-    # --- junction congestion (anti-gridlock entry gate) ---
-    # occupancy from the pre-advance target waypoints; the ego occupies
-    # its nearest waypoint's junction too (a stopped learned agent inside
-    # a junction must hold NPCs out exactly like a stopped NPC would)
     wpj = map_data.wp_junction
-    n_j = map_data.junction_n_phases.shape[0]
-    cur_j = wpj[wp]
-    inside = (cur_j >= 0) & npc.active
+    wpc = map_data.wp_conn
     stopped_npc = speed < 0.3
-    ego_j = wpj[nearest_waypoint(map_data.grid_idx, map_data.world_offset,
-                                 ego_pos)]
-    occ = jnp.zeros((n_j,), jnp.int32).at[
-        jnp.where(inside, cur_j, n_j)].add(1, mode='drop')
-    occ = occ.at[jnp.where(ego_j >= 0, ego_j, n_j)].add(1, mode='drop')
-    occ_stopped = jnp.zeros((n_j,), jnp.int32).at[
-        jnp.where(inside & stopped_npc, cur_j, n_j)].add(1, mode='drop')
-    congested = occ >= NPC_JUNCTION_CAP
-    if NPC_GATE_ON_STOPPED:
-        congested = congested | (occ_stopped > 0)
+    # the ego occupies BOTH its snapped connector while inside a junction
+    # (a stopped learned agent inside must hold conflicting entries
+    # exactly like a stopped NPC) AND its route reservation — near a
+    # crossing the snap can flicker onto the other connector, so either
+    # alone under-reports the ego's true footprint
+    ego_wp = nearest_waypoint(map_data.grid_idx, map_data.world_offset,
+                              ego_pos)
+    ego_j = wpj[ego_wp]
+    ego_mask = jnp.uint32(1) << jnp.maximum(
+        wpc[ego_wp], 0).astype(jnp.uint32)
+    if ego_res_j is None:
+        ego_res_j = jnp.asarray(-1, jnp.int32)
+        ego_res_c = jnp.asarray(0, jnp.uint32)
+    extras = ((ego_j, ego_mask),
+              (ego_res_j, ego_res_c.astype(jnp.uint32)))
 
     # --- waypoint advance (up to 2 per tick; lattice spacing 1 m) ---
-    entry_hold = jnp.zeros(wp.shape[0], bool)
+    n_npc = wp.shape[0]
+    idxs = jnp.arange(n_npc)
+    entry_hold = jnp.zeros(n_npc, bool)
     for _ in range(2):
+        # recompute occupancy each sub-advance so an entry admitted in the
+        # first pass is visible to gates in the second
+        occ_bits, occ_total = junction_occupancy(
+            map_data, wp, npc.active, extras)
         d = jnp.linalg.norm(wp_pos[wp] - pos, axis=-1)
         u = _hash01(seed.astype(jnp.uint32), jnp.arange(wp.shape[0],
                     dtype=jnp.uint32), wp.astype(jnp.uint32))
@@ -107,10 +158,23 @@ def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
                            n_next - 1)
         nxt = jnp.take_along_axis(wp_next[wp], pick[:, None], axis=1)[:, 0]
         nxt = jnp.where(nxt < 0, wp, nxt)
-        # hold at the boundary instead of advancing into a congested
-        # junction; the gate clears as soon as traffic inside moves
+        # hold at the boundary while a conflicting movement occupies the
+        # junction (or it is at capacity); the gate clears when it exits
         entering = (wpj[wp] < 0) & (wpj[nxt] >= 0)
-        blocked = entering & congested[jnp.maximum(wpj[nxt], 0)]
+        jn = jnp.maximum(wpj[nxt], 0)
+        kn = jnp.maximum(wpc[nxt], 0)
+        conf = map_data.junction_conflict[jn, kn]          # (N,) uint32
+        blocked = entering & (((occ_bits[jn] & conf) != 0)
+                              | (occ_total[jn] >= NPC_JUNCTION_CAP))
+        # same-tick arbitration: two NPCs admitted together on conflicting
+        # connectors would recreate the mid-box meet — lower index enters,
+        # the other waits one tick and re-tests against the new occupancy
+        cand = entering & ~blocked & (d < NPC_REACH) & npc.active
+        pair_conf = (((conf[:, None] >> kn[None, :].astype(jnp.uint32))
+                      & 1) > 0) & (jn[:, None] == jn[None, :])
+        peer = cand[:, None] & cand[None, :] & pair_conf \
+            & (idxs[None, :] < idxs[:, None])
+        blocked = blocked | jnp.any(peer, axis=1)
         wp = jnp.where((d < NPC_REACH) & ~blocked, nxt, wp)
         entry_hold = entry_hold | (blocked & (d < NPC_ENTRY_HOLD))
 

@@ -106,6 +106,44 @@ def distance_to_goal(route: RouteState):
     return total - route.cumdist[head]
 
 
+ENTRY_LOOKAHEAD = 8  # route nodes at 2.5 m spacing -> ~20 m of route
+
+
+def intended_connector(map_data, route: 'RouteState', ego_pos):
+    """(junction, conn_bitmask, dist): the first junction on the route
+    ahead of the follower head (junction -1 / mask 0 when none is within
+    ENTRY_LOOKAHEAD nodes) and the OR of the local connector bits its
+    route points snap onto.
+
+    Route points inside a junction lie on the planned connector's lattice
+    chain, so their nearest waypoints recover (junction id, connector
+    index) for the entry gates in engine/npc.py (the ego's reservation)
+    and agents/autopilot.py (the expert's own hold). Near a crossing two
+    connectors' waypoints are equidistant and a single-point snap can
+    pick the wrong one — OR-ing the bits of every in-junction lookahead
+    point keeps the true connector in the mask.
+    """
+    offs = jnp.arange(ENTRY_LOOKAHEAD)
+    idx = jnp.minimum(route.next_idx + offs, route.length - 1)
+    pts = route.pos[idx]
+    wps = nearest_waypoint(map_data.grid_idx, map_data.world_offset, pts)
+    js = map_data.wp_junction[wps]
+    cs = jnp.maximum(map_data.wp_conn[wps], 0)
+    isj = js >= 0
+    first = jnp.argmax(isj)
+    any_j = jnp.any(isj)
+    j = jnp.where(any_j, js[first], -1)
+    in_first = isj & (js == js[first])
+    cmask = jax.lax.reduce(
+        jnp.where(in_first, jnp.uint32(1) << cs.astype(jnp.uint32),
+                  jnp.uint32(0)),
+        jnp.uint32(0), jnp.bitwise_or, (0,))
+    cmask = jnp.where(any_j, cmask, jnp.uint32(0))
+    dist = jnp.where(any_j, jnp.linalg.norm(pts[first] - ego_pos),
+                     jnp.float32(jnp.inf))
+    return j, cmask, dist
+
+
 # ----------------------------------------------------------- lattice queries
 GRID_CELL = 2.0
 

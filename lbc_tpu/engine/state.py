@@ -36,6 +36,8 @@ class WalkerState(NamedTuple):
     target: jnp.ndarray       # (P, 2) current goal
     target_idx: jnp.ndarray   # (P,) int32 goal's walker_spawn table index
     stuck_ticks: jnp.ndarray  # (P,) int32
+    anchor: jnp.ndarray       # (P, 2) confinement reference point
+    anchor_ticks: jnp.ndarray  # (P,) int32 ticks spent near the anchor
     active: jnp.ndarray       # (P,) bool
 
 

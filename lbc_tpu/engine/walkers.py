@@ -19,6 +19,15 @@ from .state import WalkerState
 
 STUCK_LIMIT = 20          # ticks below speed threshold before teleport
 SPEED_THRESHOLD = 0.1     # m/s
+# confinement escape hatch: a walker boxed in between queued vehicles
+# paces tiny circles in the pocket — always "moving", so the speed-based
+# stuck rule never fires — while sitting in every queued car's walker
+# hazard cone, freezing the queue forever (dense-suite audit, round 4:
+# Town01 s106-t193 junction 11). A walker that stays within
+# CONFINED_RADIUS of its anchor for CONFINED_TICKS while standing ON the
+# road teleports out exactly like a stuck one.
+CONFINED_RADIUS = 3.0     # m
+CONFINED_TICKS = 150      # 15 s
 TARGET_REACH = 1.0        # m
 TARGET_RADIUS = 25.0      # m: new goals sampled within this range
 CROSS_PROB = 0.12         # chance a new goal may be across the road
@@ -174,6 +183,16 @@ def walker_step(walkers: WalkerState, map_data, ego_pos, key,
     stuck_ticks = jnp.where(moved < SPEED_THRESHOLD,
                             walkers.stuck_ticks + 1, 0)
 
+    # confinement detector (see CONFINED_* above): on-road walkers that
+    # orbit a small pocket without net progress count as stuck. The
+    # on-road test reuses the packed-nav gather (bit 9 + center cell 4).
+    on_road_now = ((nav >> jnp.uint32(13)) & 1) > 0
+    drift = jnp.linalg.norm(new_pos - walkers.anchor, axis=-1)
+    escaped = drift > CONFINED_RADIUS
+    anchor = jnp.where(escaped[:, None], new_pos, walkers.anchor)
+    anchor_ticks = jnp.where(escaped, 0, walkers.anchor_ticks + 1)
+    confined = (anchor_ticks >= CONFINED_TICKS) & on_road_now
+
     # new target on arrival (same sidewalk piece, occasional crossing)
     arrived = dist < TARGET_REACH
     goal_idx, goal_pos, key = _next_goal(key, walkers.target_idx,
@@ -183,7 +202,7 @@ def walker_step(walkers: WalkerState, map_data, ego_pos, key,
 
     # stuck -> teleport to a spawn point >= 10 m from the hero and the old
     # location (PedestrianTracker rule)
-    stuck = (stuck_ticks >= STUCK_LIMIT) & bool(respawn_peds)
+    stuck = ((stuck_ticks >= STUCK_LIMIT) | confined) & bool(respawn_peds)
     k1, key = jax.random.split(key)
     tp_idx = jax.random.randint(k1, (pos.shape[0], 8), 0,
                                 map_data.walker_spawn.shape[0])
@@ -199,9 +218,12 @@ def walker_step(walkers: WalkerState, map_data, ego_pos, key,
     target = jnp.where(stuck[:, None], tp, target)   # re-goal next arrival
     target_idx = jnp.where(stuck, tp_sel, target_idx)
     stuck_ticks = jnp.where(stuck, 0, stuck_ticks)
+    anchor = jnp.where(stuck[:, None], tp, anchor)
+    anchor_ticks = jnp.where(stuck, 0, anchor_ticks)
 
     active = walkers.active
     new_pos = jnp.where(active[:, None], new_pos, pos)
     return WalkerState(pos=new_pos, yaw=yaw, speed=walkers.speed,
                        target=target, target_idx=target_idx,
-                       stuck_ticks=stuck_ticks, active=active)
+                       stuck_ticks=stuck_ticks, anchor=anchor,
+                       anchor_ticks=anchor_ticks, active=active)

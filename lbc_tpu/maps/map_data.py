@@ -40,6 +40,13 @@ class MapData(NamedTuple):
     wp_seg: np.ndarray            # (N,) int32
     wp_is_junction: np.ndarray    # (N,) bool
     wp_junction: np.ndarray       # (N,) int32 junction node id, -1 on roads
+    wp_conn: np.ndarray           # (N,) int32 connector index local to the
+    # waypoint's junction (-1 on roads); indexes junction_conflict bits
+    junction_conflict: np.ndarray  # (J, K) uint32: bit b of [j, k] = 1 iff
+    # connector k and connector b of junction j have geometrically
+    # conflicting paths (cross/merge closer than a vehicle width) — the
+    # "don't enter while a conflicting movement is in the box" gate in
+    # engine/npc.py and agents/autopilot.py reads these masks
     # nearest-waypoint hash grid
     grid_idx: np.ndarray          # (GH, GW) int32
     # spawn points
@@ -132,6 +139,53 @@ def _pack_nav_raster(walkable: np.ndarray, road: np.ndarray) -> np.ndarray:
     return out
 
 
+CONNECTOR_CONFLICT_M = 2.4  # min path separation (~vehicle width + margin)
+
+
+def _connector_tables(net: RoadNetwork):
+    """Label junction connectors and precompute pairwise path conflicts.
+
+    Two connectors of the same junction conflict when a vehicle on each
+    could meet: their polylines pass within CONNECTOR_CONFLICT_M
+    (crossing paths — e.g. a left turn vs. the oncoming straight that
+    shares its green under the opposing-phase light grouping), or they
+    merge into the same exit lane. Connectors diverging from the same
+    entry never conflict (that is ordinary leader-following).
+
+    Returns (wp_conn (N,) int32, conflict (n_nodes, K) uint32) where K is
+    the max connectors at any junction (bit-packed; asserted <= 32).
+    CARLA sequences junction entry server-side inside the traffic
+    manager; this is the table-driven TPU analog — one gather + one AND
+    per entering vehicle instead of per-actor negotiation.
+    """
+    from scipy.spatial.distance import cdist
+
+    n_nodes = len(net.nodes)
+    seg_conn = np.full(len(net.segments), -1, np.int32)
+    by_junction: dict = {}
+    for s in net.segments:
+        if s.is_junction:
+            by_junction.setdefault(s.start_node, []).append(s)
+    n_k = max((len(v) for v in by_junction.values()), default=1)
+    assert n_k <= 32, f'junction with {n_k} connectors overflows uint32'
+    conflict = np.zeros((n_nodes, n_k), np.uint32)
+    for node, conns in by_junction.items():
+        for k, s in enumerate(conns):
+            seg_conn[s.seg_id] = k
+        for a in range(len(conns)):
+            for b in range(a + 1, len(conns)):
+                sa, sb = conns[a], conns[b]
+                if sa._from == sb._from:
+                    continue
+                conf = (sa._to == sb._to) or (
+                    cdist(sa.points, sb.points).min()
+                    < CONNECTOR_CONFLICT_M)
+                if conf:
+                    conflict[node, a] |= np.uint32(1) << np.uint32(b)
+                    conflict[node, b] |= np.uint32(1) << np.uint32(a)
+    return seg_conn[net.wp_seg], conflict
+
+
 def _nearest_grid(net: RoadNetwork, h_m: float, w_m: float):
     gh = int(np.ceil(h_m / GRID_CELL)) + 1
     gw = int(np.ceil(w_m / GRID_CELL)) + 1
@@ -196,6 +250,7 @@ def build_map_data(town: str) -> MapData:
         [s.start_node if s.is_junction else -1 for s in net.segments],
         np.int32)
     wp_junction = seg_junction[net.wp_seg]
+    wp_conn, junction_conflict = _connector_tables(net)
     ws_pts, ws_comp, ws_nbrs, ws_cross = _walker_spawn_points(
         road, walkable, net.world_offset, net.pixels_per_meter)
 
@@ -212,6 +267,8 @@ def build_map_data(town: str) -> MapData:
         wp_seg=net.wp_seg,
         wp_is_junction=wp_is_junction,
         wp_junction=wp_junction,
+        wp_conn=wp_conn,
+        junction_conflict=junction_conflict,
         grid_idx=grid,
         spawn_pos=net.spawn_pos.astype(np.float32),
         spawn_yaw=net.spawn_yaw.astype(np.float32),

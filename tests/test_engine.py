@@ -169,8 +169,11 @@ def test_warmup_resets_clocks(env):
 
 def test_npc_junction_entry_gate():
     """Anti-gridlock: an NPC approaching a junction boundary holds (brakes,
-    pointer not advanced) while a stopped vehicle occupies the junction,
-    and proceeds once the junction is clear (engine/npc.py entry gate)."""
+    pointer not advanced) while a vehicle occupies a CONFLICTING connector
+    of that junction (crossing or merging path, maps/map_data.py conflict
+    tables), and proceeds once the junction is clear. A vehicle on the
+    NPC's own connector does not trip the gate — that is ordinary
+    leader-following, handled by the hazard cone."""
     import numpy as np
 
     from lbc_tpu.engine.npc import npc_vehicle_step
@@ -180,21 +183,33 @@ def test_npc_junction_entry_gate():
     m = build_map_data('Town01')
     md = jax.tree.map(jnp.asarray, m)
     wpj = np.asarray(m.wp_junction)
+    wpc = np.asarray(m.wp_conn)
     # find a road wp whose successor is a junction wp (an entry boundary)
+    # whose connector has at least one conflicting connector with a
+    # waypoint to park the blocker on (hash pick 0 is deterministic here)
     entry = None
     for i in range(m.wp_pos.shape[0]):
         if wpj[i] >= 0 or int(m.wp_n_next[i]) < 1:
             continue
         nxts = [int(m.wp_next[i, k]) for k in range(int(m.wp_n_next[i]))]
-        # every successor enters the junction (a lane-end waypoint), so
-        # the gate applies whichever branch the NPC's hash picks
-        if all(n >= 0 and wpj[n] >= 0 for n in nxts):
-            entry = (i, nxts[0], int(wpj[nxts[0]]))
+        if not all(n >= 0 and wpj[n] >= 0 for n in nxts):
+            continue
+        j_wp = nxts[0]
+        j_id = int(wpj[j_wp])
+        # blocker connector must conflict with EVERY successor connector,
+        # so the gate holds whichever branch the NPC's hash picks
+        conf = ~0
+        for n in nxts:
+            conf &= int(m.junction_conflict[j_id, int(wpc[n])])
+        if conf == 0:
+            continue
+        k_conf = conf.bit_length() - 1   # one conflicting connector
+        cand = np.nonzero((wpj == j_id) & (wpc == k_conf))[0]
+        if len(cand):
+            entry = (i, j_wp, j_id, int(cand[len(cand) // 2]))
             break
     assert entry is not None
-    i, j_wp, j_id = entry
-    # one junction wp of the same junction for the blocker
-    blocker_wp = j_wp
+    i, j_wp, j_id, blocker_wp = entry
     entry_pos = m.wp_pos[i]
     yaw_to = float(np.arctan2(*(m.wp_pos[j_wp] - entry_pos)[::-1]))
     # approacher: 1.5 m before the boundary wp (inside NPC_REACH, so the
@@ -228,6 +243,32 @@ def test_npc_junction_entry_gate():
     clear = npc_vehicle_step(make(0.0, False), md, **kw)
     assert int(np.asarray(wpj[int(clear.wp[0])])) >= 0   # pointer entered
     assert float(clear.speed[0]) >= float(held.speed[0])
+
+    # ego reservation of the conflicting connector -> held exactly like a
+    # committed vehicle (engine/env.py passes intended_connector's mask)
+    res = npc_vehicle_step(
+        make(0.0, False), md, **kw,
+        ego_res_j=jnp.asarray(j_id, jnp.int32),
+        ego_res_c=jnp.asarray(np.uint32(1) << np.uint32(k_conf)))
+    assert int(res.wp[0]) == i
+    # reservation of a NON-conflicting, non-successor connector (if one
+    # exists) leaves entry open
+    open_mask = 0
+    n_k = m.junction_conflict.shape[1]
+    succ_conns = {int(wpc[n]) for n in nxts}
+    for k in range(n_k):
+        if k in succ_conns:
+            continue
+        if all(not (int(m.junction_conflict[j_id, int(wpc[n])]) >> k) & 1
+               for n in nxts):
+            open_mask = 1 << k
+            break
+    if open_mask:
+        ok = npc_vehicle_step(
+            make(0.0, False), md, **kw,
+            ego_res_j=jnp.asarray(j_id, jnp.int32),
+            ego_res_c=jnp.asarray(np.uint32(open_mask)))
+        assert int(np.asarray(wpj[int(ok.wp[0])])) >= 0
 
 
 def test_npc_mutual_block_tiebreaker():
@@ -338,3 +379,57 @@ def test_npc_speed_dependent_following_gap():
     assert min_gap > 4.8, f'contact: min center gap {min_gap:.2f} m'
     assert min_gap < 7.4, f'queue too sparse: {min_gap:.2f} m'
     assert float(state.speed[0]) < 0.3   # settled, not oscillating
+
+
+def test_walker_confinement_teleport():
+    """A walker boxed into a pocket (pacing, never speed-stuck) must
+    teleport out via the confinement rule once it has spent
+    CONFINED_TICKS within CONFINED_RADIUS of its anchor while on the
+    road (engine/walkers.py). Without it, pocketed walkers sit in every
+    queued car's hazard cone forever (round-4 dense-suite audit)."""
+    import numpy as np
+
+    from lbc_tpu.engine.walkers import (CONFINED_TICKS, walker_step)
+    from lbc_tpu.engine.state import WalkerState
+    from lbc_tpu.maps import build_map_data
+
+    m = build_map_data('Town01')
+    md = jax.tree.map(jnp.asarray, m)
+    # a point on the road surface
+    road = np.asarray(m.road_raster)
+    ys, xs = np.nonzero(road)
+    k = len(ys) // 2
+    p0 = np.array([xs[k] / 5.0, ys[k] / 5.0], np.float32) \
+        + np.asarray(m.world_offset)
+
+    # target far away but walker surrounded by stopped vehicles on all
+    # sides (inflated OBBs block every candidate step)
+    boxes = p0[None] + np.array(
+        [[3.0, 0.0], [-3.0, 0.0], [0.0, 3.0], [0.0, -3.0]], np.float32)
+    st = WalkerState(
+        pos=jnp.asarray(p0[None]),
+        yaw=jnp.zeros((1,)),
+        speed=jnp.ones((1,)) * 1.5,
+        target=jnp.asarray((p0 + np.array([40.0, 0.0]))[None]),
+        target_idx=jnp.zeros((1,), jnp.int32),
+        stuck_ticks=jnp.zeros((1,), jnp.int32),
+        anchor=jnp.asarray(p0[None]),
+        anchor_ticks=jnp.zeros((1,), jnp.int32),
+        active=jnp.asarray([True]))
+
+    key = jax.random.PRNGKey(0)
+    step = jax.jit(lambda s, k: walker_step(
+        s, md, jnp.asarray(p0 + 50.0), k,
+        vehicle_pos=jnp.asarray(boxes),
+        vehicle_active=jnp.ones((4,), bool),
+        vehicle_speed=jnp.zeros((4,)),
+        ego_speed=jnp.asarray(0.0),
+        vehicle_yaw=jnp.zeros((4,)),
+        ego_yaw=jnp.asarray(0.0)))
+    for t in range(CONFINED_TICKS + 25):
+        key, k1 = jax.random.split(key)
+        st = step(st, k1)
+        if float(jnp.linalg.norm(st.pos[0] - p0)) > 5.0:
+            break
+    # walker escaped the pocket (teleported by the confinement rule)
+    assert float(jnp.linalg.norm(st.pos[0] - p0)) > 5.0

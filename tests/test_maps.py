@@ -162,3 +162,77 @@ def test_parallel_lanes_routable(tmp_path, monkeypatch):
         pts, cmds = net.plan_route(start, target, start_yaw=yaw)
         assert np.hypot(*(pts[-1] - target)) < 6.0
         assert len(pts) > 10
+
+
+def test_connector_conflict_tables(net, md):
+    """Junction connector labeling + conflict bitmasks
+    (maps/map_data.py:_connector_tables): every junction waypoint carries
+    a local connector index, masks are symmetric with no self-conflict,
+    same-entry (diverging) pairs never conflict, and a left turn
+    conflicts with the oncoming straight it crosses."""
+    wpj = np.asarray(md.wp_junction)
+    wpc = np.asarray(md.wp_conn)
+    conf = np.asarray(md.junction_conflict)
+
+    # labeling: junction wps have a connector, road wps have -1
+    assert ((wpc >= 0) == (wpj >= 0)).all()
+
+    by_junction = {}
+    for s in net.segments:
+        if s.is_junction:
+            by_junction.setdefault(s.start_node, []).append(s)
+
+    from lbc_tpu.constants import CMD_LEFT, CMD_STRAIGHT
+    saw_left_cross = False
+    for node, conns in by_junction.items():
+        n = len(conns)
+        for a in range(n):
+            # wp_conn of this segment's waypoints matches its local index
+            seg_wps = np.nonzero(np.asarray(md.wp_seg)
+                                 == conns[a].seg_id)[0]
+            assert (wpc[seg_wps] == a).all()
+            # no self-conflict
+            assert not (conf[node, a] >> a) & 1
+            for b in range(a + 1, n):
+                bit_ab = (conf[node, a] >> b) & 1
+                bit_ba = (conf[node, b] >> a) & 1
+                assert bit_ab == bit_ba          # symmetry
+                if conns[a]._from == conns[b]._from:
+                    assert not bit_ab            # diverging: no conflict
+                if bit_ab and {conns[a].command, conns[b].command} == \
+                        {CMD_LEFT, CMD_STRAIGHT}:
+                    saw_left_cross = True
+    assert saw_left_cross, 'no left-vs-straight crossing flagged'
+
+
+def test_intended_connector_matches_route():
+    """engine.routing.intended_connector recovers the junction + a
+    connector mask containing the planned connector for a route that
+    turns through a junction."""
+    import jax.numpy as jnp
+
+    from lbc_tpu.engine import DrivingEnv, EnvConfig
+    from lbc_tpu.engine.routing import intended_connector
+
+    env = DrivingEnv(EnvConfig(town='Town01'))
+    st = env.reset_np(seed=0, start=4, target=27)
+    md = env.map_data
+    wpj = np.asarray(md.wp_junction)
+    wpc = np.asarray(md.wp_conn)
+
+    # walk the route to a point ~6 m before its first junction waypoint
+    route_pts = np.asarray(st.route.pos)
+    wps = [nearest_waypoint_np(env.map_np, p) for p in route_pts]
+    j_at = [k for k, w in enumerate(wps) if wpj[w] >= 0]
+    assert j_at, 'route never crosses a junction'
+    k0 = j_at[0]
+    true_j = int(wpj[wps[k0]])
+    true_c = int(wpc[wps[k0]])
+
+    route = st.route._replace(next_idx=jnp.asarray(max(k0 - 2, 0),
+                                                   jnp.int32))
+    ego_pos = jnp.asarray(route_pts[max(k0 - 2, 0)], jnp.float32)
+    j, cmask, dist = intended_connector(env.map_data, route, ego_pos)
+    assert int(j) == true_j
+    assert (int(cmask) >> true_c) & 1
+    assert float(dist) < 10.0

@@ -17,11 +17,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 CONFIGS = {
-    'baseline': {},                      # speed-gap (6.0 + 0.5v) + stop-gate
+    'baseline': {},                # speed-gap (6.0 + 0.5v) + conflict gate
     'fixed-7.5': {'NPC_GAP_BASE': 7.5, 'NPC_GAP_HEADWAY': 0.0},
-    'no-stop-gate': {'NPC_GATE_ON_STOPPED': False},
     'tight-base': {'NPC_GAP_BASE': 5.5},
-    'cap6': {'NPC_GATE_ON_STOPPED': False, 'NPC_JUNCTION_CAP': 6},
+    'cap6': {'NPC_JUNCTION_CAP': 6},
 }
 
 
@@ -48,8 +47,7 @@ def main():
     from lbc_tpu.engine.rollout import make_rollout
 
     defaults = {k: getattr(npc_mod, k) for k in
-                ('NPC_GATE_ON_STOPPED', 'NPC_PROXIMITY',
-                 'NPC_GAP_BASE', 'NPC_GAP_HEADWAY',
+                ('NPC_PROXIMITY', 'NPC_GAP_BASE', 'NPC_GAP_HEADWAY',
                  'NPC_JUNCTION_CAP')}
 
     env = DrivingEnv(EnvConfig(town=args.town, n_vehicles=args.n_vehicles,
