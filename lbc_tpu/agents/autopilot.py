@@ -71,15 +71,17 @@ def expert_step(map_data, env_state, agent_state: ExpertState):
                                map_data.light_stop_yaw)
     h_walk = walker_hazard(ego.pos, ego.yaw, env_state.walkers.pos,
                            env_state.walkers.active,
-                           map_data.road_raster, map_data.world_offset)
+                           map_data.nav_raster, map_data.world_offset)
     # junction-entry hold (mirror of the NPC gate in engine/npc.py): do
     # not enter while an NPC is committed to a conflicting connector —
     # entering against the oncoming straight that shares our green would
-    # end nose-to-nose mid-box, a state neither party can legally leave
+    # end nose-to-nose mid-box, a state neither party can legally leave.
+    # The reservation is read from the episode cache (refreshed by
+    # env.step each tick; 1 tick stale) instead of re-deriving it.
     from ..engine.npc import EGO_ENTRY_HOLD, junction_occupancy
-    from ..engine.routing import intended_connector
-    res_j, res_cmask, res_d = intended_connector(map_data, env_state.route,
-                                                 ego.pos)
+    res_j = env_state.episode.res_j
+    res_cmask = env_state.episode.res_cmask
+    res_d = env_state.episode.res_d
     occ_bits, _ = junction_occupancy(map_data, env_state.npc.wp,
                                      env_state.npc.active)
     conf_row = map_data.junction_conflict[jnp.maximum(res_j, 0)]  # (K,)

@@ -85,7 +85,7 @@ def make_noisy_expert(n_drive: int = 100, n_noise: int = 0,
                                map_data.light_stop_yaw) \
             | walker_hazard(ego.pos, ego.yaw, env_state.walkers.pos,
                             env_state.walkers.active,
-                            map_data.road_raster, map_data.world_offset)
+                            map_data.nav_raster, map_data.world_offset)
 
         steer = jnp.clip(steer, -1.0, 1.0)
         # throttle damping by steering magnitude (data_collector.py:138)

@@ -160,7 +160,10 @@ class DrivingEnv:
             light_t0=jnp.asarray(t0),
             rng=jax.random.PRNGKey(seed * 7919 + start).astype(jnp.uint32),
             done=jnp.asarray(False),
-            success=jnp.asarray(False))
+            success=jnp.asarray(False),
+            res_j=jnp.asarray(-1, jnp.int32),
+            res_cmask=jnp.asarray(0, jnp.uint32),
+            res_d=jnp.asarray(jnp.inf, jnp.float32))
 
         return EnvState(ego=ego, npc=npc, walkers=walkers, route=route,
                         episode=episode)
@@ -276,7 +279,8 @@ class DrivingEnv:
             total_lights=total_lights,
             total_lights_ran=ep.total_lights_ran + ran_now.astype(jnp.int32),
             last_light=last_light, rng=key, done=done,
-            success=ep.success | success)
+            success=ep.success | success,
+            res_j=res_j, res_cmask=res_c.astype(jnp.uint32), res_d=res_d)
 
         new_state = EnvState(ego=ego._replace(prev_vel=vel), npc=npc,
                              walkers=walkers, route=route, episode=episode)

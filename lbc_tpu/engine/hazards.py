@@ -76,16 +76,25 @@ def red_light_hazard(pos, yaw, light_state, light_stop_pos, light_stop_yaw,
     return jnp.any(in_zone & heading_ok & (light_state == RED))
 
 
-def walker_hazard(pos, yaw, walker_pos, walker_active, road_raster,
+def walker_hazard(pos, yaw, walker_pos, walker_active, nav_raster,
                   world_offset, proximity=PROXIMITY_THRESHOLD):
     """_is_walker_hazard (agent.py:184-200): distance-scaled cone, walkers
-    on the sidewalk (off-road pixels) ignored."""
+    on the sidewalk ignored.
+
+    The on-road test reads the packed nav raster's 3x3 road neighborhood
+    (bits 9..17, maps/map_data.py:_pack_nav_raster) instead of the single
+    road pixel: a walker hovering ON the curb line flickers a one-pixel
+    test on and off, and the round-4 Town02 s64-t1 audit showed the
+    expert pulling away in exactly such an off frame and striking the
+    walker as it stepped back in. The ring adds ~0.2 m of tolerance —
+    far less than the 3.5 m sidewalk band, so sidewalk strollers still
+    never trip the cone."""
     d = jnp.linalg.norm(walker_pos - pos, axis=-1)
     degree = 162.0 / (jnp.clip(d, 1.5, 10.5) + 0.3)
     px = jnp.round((walker_pos - world_offset) * PIXELS_PER_METER)
-    h, w = road_raster.shape
+    h, w = nav_raster.shape
     cx = jnp.clip(px[..., 0].astype(jnp.int32), 0, w - 1)
     cy = jnp.clip(px[..., 1].astype(jnp.int32), 0, h - 1)
-    on_road = road_raster[cy, cx] > 0
+    on_road = (nav_raster[cy, cx] & jnp.uint32(0x3FE00)) > 0
     ahead = within_distance_ahead(walker_pos, pos, yaw, proximity, degree)
     return jnp.any(ahead & on_road & walker_active)

@@ -224,7 +224,7 @@ def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
                                  map_data.light_stop_yaw,
                                  stop_distance=NPC_PROXIMITY)
         wlk = walker_hazard(p, y, walker_pos, walker_active,
-                            map_data.road_raster, map_data.world_offset,
+                            map_data.nav_raster, map_data.world_offset,
                             proximity=NPC_PROXIMITY)
         return veh_by, light | wlk
 

@@ -68,6 +68,12 @@ class EpisodeState(NamedTuple):
     rng: jnp.ndarray               # (2,) uint32 PRNG key
     done: jnp.ndarray              # () bool
     success: jnp.ndarray           # () bool
+    # ego junction-entry reservation, refreshed each step by env.step
+    # (engine.routing.intended_connector); agents read the cached value
+    # (1 tick stale) instead of re-deriving it from the route
+    res_j: jnp.ndarray             # () int32 junction id, -1 = none
+    res_cmask: jnp.ndarray         # () uint32 reserved connector bitmask
+    res_d: jnp.ndarray             # () f32 distance to the entry
 
 
 class EnvState(NamedTuple):

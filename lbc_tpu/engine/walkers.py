@@ -143,7 +143,13 @@ def walker_step(walkers: WalkerState, map_data, ego_pos, key,
             lat = jnp.stack([-fwd[:, 1], fwd[:, 0]], axis=-1)
             fx = jnp.sum(rel * fwd[None, None, :, :], axis=-1)
             fy = jnp.sum(rel * lat[None, None, :, :], axis=-1)
-            margin = 0.7                     # walker radius + safety
+            # walker radius + safety; moving vehicles get a swept-path
+            # allowance — a car pulling away while steering swings its
+            # rear corner ~0.8 m outside the static box, clipping a
+            # walker parked at the old margin (round-4 Town02 s64-t1
+            # second audit), so walkers step clear of anything rolling
+            margin = jnp.where(vs > 0.3, 1.5, 0.7)[None, None, :] \
+                if vehicle_speed is not None else 0.7
             inside = (jnp.abs(fx) < EGO_EXTENT_X + margin) \
                 & (jnp.abs(fy) < EGO_EXTENT_Y + margin)
             # moving vehicles also block their forward path (3 m, 60 deg)
@@ -166,7 +172,16 @@ def walker_step(walkers: WalkerState, map_data, ego_pos, key,
         # center cell b=4).
         cand_on_road = ((nav[:, None] >> (bit + jnp.uint32(9))) & 1) > 0
         already_on_road = ((nav >> jnp.uint32(13)) & 1) > 0
-        traffic_near = jnp.any((d2 < 6.0 ** 2) & moving[None, None, :]
+        # entry is gated on any ROLLING vehicle (>0.3 m/s), not just
+        # driving-speed ones: a hazard-released ego creeping off a stop
+        # (<1.5 m/s) must not have a walker step back into its path one
+        # car-length ahead (round-4 Town02 s64-t1 audit: walker left the
+        # road, the expert's cone cleared, both re-entered and met)
+        if vehicle_speed is not None:
+            rolling = vs > 0.3
+        else:
+            rolling = moving
+        traffic_near = jnp.any((d2 < 6.0 ** 2) & rolling[None, None, :]
                                & va[None, None, :], axis=-1)
         entering_danger = cand_on_road & traffic_near \
             & ~already_on_road[:, None]
