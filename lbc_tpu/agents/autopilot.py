@@ -22,13 +22,24 @@ from ..engine.lights import light_states
 from ..engine.routing import route_target
 
 
+HAZARD_HOLD_TICKS = 8  # keep braking 0.8 s after the last hazard frame
+
+
 class ExpertState(NamedTuple):
     speed_pid: PIDState
     turn_pid: PIDState
+    # hazard-release hysteresis: a walker sitting exactly on the cone
+    # edge flaps the hazard bit, and each v=0 frame also shrinks the
+    # walkers' vehicle-clearance margin (engine/walkers.py) — the pair
+    # ratchets the walker into the creeping car's corner (round-4 Town02
+    # s55-t38 audit). Holding the brake until the cone has been clear
+    # for HAZARD_HOLD_TICKS breaks the ratchet.
+    hold: jnp.ndarray
 
 
 def expert_init(batch_shape=()) -> ExpertState:
-    return ExpertState(pid_init(30, batch_shape), pid_init(30, batch_shape))
+    return ExpertState(pid_init(30, batch_shape), pid_init(30, batch_shape),
+                       jnp.zeros(batch_shape, jnp.int32))
 
 
 def expert_step(map_data, env_state, agent_state: ExpertState):
@@ -93,11 +104,14 @@ def expert_step(map_data, env_state, agent_state: ExpertState):
     h_entry = (res_j >= 0) & ~in_junction & (res_d < EGO_ENTRY_HOLD) \
         & ((occ_bits[jnp.maximum(res_j, 0)] & conf) != 0)
     hazard = h_veh | h_light | h_walk | h_entry
+    hold = jnp.where(hazard, HAZARD_HOLD_TICKS,
+                     jnp.maximum(agent_state.hold - 1, 0))
+    braking = hazard | (hold > 0)
 
     steer = jnp.clip(steer, -1.0, 1.0)
     throttle = jnp.clip(throttle, 0.0, 1.0)
     control = jnp.where(
-        hazard,
+        braking,
         jnp.array([0.0, 0.0, 1.0]),
         jnp.stack([steer, throttle, jnp.zeros_like(steer)]))
-    return control, ExpertState(speed_pid, turn_pid), hazard
+    return control, ExpertState(speed_pid, turn_pid, hold), braking
