@@ -17,7 +17,7 @@ from ..constants import (CMD_FOLLOW, CMD_STRAIGHT, EXPERT_TARGET_SPEED,
                          EXPERT_TURN_SPEED_FACTOR)
 from ..control.pid import PIDState, pid_init, pid_step
 from ..engine.hazards import (red_light_hazard, vehicle_hazard,
-                              walker_hazard)
+                              walker_hazard, walker_launch_block)
 from ..engine.lights import light_states
 from ..engine.routing import route_target
 
@@ -83,6 +83,10 @@ def expert_step(map_data, env_state, agent_state: ExpertState):
     h_walk = walker_hazard(ego.pos, ego.yaw, env_state.walkers.pos,
                            env_state.walkers.active,
                            map_data.nav_raster, map_data.world_offset)
+    h_walk = h_walk | walker_launch_block(
+        ego.pos, ego.speed, env_state.walkers.pos,
+        env_state.walkers.active, map_data.nav_raster,
+        map_data.world_offset)
     # junction-entry hold (mirror of the NPC gate in engine/npc.py): do
     # not enter while an NPC is committed to a conflicting connector —
     # entering against the oncoming straight that shares our green would

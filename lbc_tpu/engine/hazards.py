@@ -76,25 +76,56 @@ def red_light_hazard(pos, yaw, light_state, light_stop_pos, light_stop_yaw,
     return jnp.any(in_zone & heading_ok & (light_state == RED))
 
 
-def walker_hazard(pos, yaw, walker_pos, walker_active, nav_raster,
-                  world_offset, proximity=PROXIMITY_THRESHOLD):
-    """_is_walker_hazard (agent.py:184-200): distance-scaled cone, walkers
-    on the sidewalk ignored.
-
-    The on-road test reads the packed nav raster's 3x3 road neighborhood
-    (bits 9..17, maps/map_data.py:_pack_nav_raster) instead of the single
-    road pixel: a walker hovering ON the curb line flickers a one-pixel
-    test on and off, and the round-4 Town02 s64-t1 audit showed the
-    expert pulling away in exactly such an off frame and striking the
-    walker as it stepped back in. The ring adds ~0.2 m of tolerance —
-    far less than the 3.5 m sidewalk band, so sidewalk strollers still
-    never trip the cone."""
-    d = jnp.linalg.norm(walker_pos - pos, axis=-1)
-    degree = 162.0 / (jnp.clip(d, 1.5, 10.5) + 0.3)
+def _on_road_ring(walker_pos, nav_raster, world_offset):
+    """Curb-flicker-tolerant on-road test: reads the packed nav raster's
+    3x3 road neighborhood (bits 9..17, maps/map_data.py:_pack_nav_raster)
+    instead of the single road pixel. A walker hovering ON the curb line
+    flickers a one-pixel test on and off; the ring adds ~0.2 m of
+    tolerance — far less than the 3.5 m sidewalk band, so sidewalk
+    strollers still never read as on-road."""
     px = jnp.round((walker_pos - world_offset) * PIXELS_PER_METER)
     h, w = nav_raster.shape
     cx = jnp.clip(px[..., 0].astype(jnp.int32), 0, w - 1)
     cy = jnp.clip(px[..., 1].astype(jnp.int32), 0, h - 1)
-    on_road = (nav_raster[cy, cx] & jnp.uint32(0x3FE00)) > 0
+    return (nav_raster[cy, cx] & jnp.uint32(0x3FE00)) > 0
+
+
+# pull-away clearance: ego half-diagonal (2.45 x 1.0 OBB ~ 2.65 m) minus
+# the bit of corner a walker can't reach; swept-path audits put the
+# strike radius at <= 2.0 m from the ego center (round-4 Town02 s66-t45)
+LAUNCH_CLEAR = 2.6
+
+
+def walker_hazard(pos, yaw, walker_pos, walker_active, nav_raster,
+                  world_offset, proximity=PROXIMITY_THRESHOLD):
+    """_is_walker_hazard (agent.py:184-200): distance-scaled cone, walkers
+    on the sidewalk ignored (see _on_road_ring for the curb-flicker
+    tolerance; the round-4 Town02 s64-t1 audit showed the expert pulling
+    away in a one-pixel off frame and striking the walker as it stepped
+    back in)."""
+    d = jnp.linalg.norm(walker_pos - pos, axis=-1)
+    degree = 162.0 / (jnp.clip(d, 1.5, 10.5) + 0.3)
+    on_road = _on_road_ring(walker_pos, nav_raster, world_offset)
     ahead = within_distance_ahead(walker_pos, pos, yaw, proximity, degree)
     return jnp.any(ahead & on_road & walker_active)
+
+
+def walker_launch_block(pos, speed, walker_pos, walker_active, nav_raster,
+                        world_offset, radius=LAUNCH_CLEAR):
+    """Standing-start gate: never pull away while an on-road walker is
+    within `radius` of the ego CENTER, at any bearing.
+
+    The forward hazard cone can't see a pedestrian standing beside the
+    car, but a launch from standstill swings the body through a wide arc:
+    the round-4 Town02 s66-t45 dense audit showed the expert stopped
+    mid-junction-turn, a curb-flickering walker oscillating 1.7 m off its
+    left flank (outside the cone), and the full-steer pull-away sweeping
+    the flank into the walker. Only applies at standstill (< 0.5 m/s) so
+    cruising past close sidewalk traffic is unaffected, and the on-road
+    ring test keeps stopped-at-light queues from being pinned by sidewalk
+    strollers. If the walker never leaves, the confinement teleport
+    (engine/walkers.py CONFINED_*) clears it within 15 s."""
+    d = jnp.linalg.norm(walker_pos - pos, axis=-1)
+    on_road = _on_road_ring(walker_pos, nav_raster, world_offset)
+    near = jnp.any((d < radius) & on_road & walker_active)
+    return (speed < 0.5) & near

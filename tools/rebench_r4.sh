@@ -34,7 +34,8 @@ tables() {
     echo "seeds next to the reference's published number (BASELINE.md)."
     echo
     for pair in "$LOG/expert autopilot" "$LOG/stage2 stage2" \
-                "$LOG/priv privileged" "$LOG/stage1 stage1"; do
+                "$LOG/priv privileged" "$LOG/stage1 stage1" \
+                "$LOG/privd privileged"; do
       root=${pair% *}; ref=${pair#* }
       [ -d "$root" ] || continue
       python tools/make_results_tables.py "$root" --reference "$ref" || true
