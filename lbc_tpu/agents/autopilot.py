@@ -42,30 +42,19 @@ def expert_init(batch_shape=()) -> ExpertState:
                        jnp.zeros(batch_shape, jnp.int32))
 
 
-def expert_step(map_data, env_state, agent_state: ExpertState):
-    """One control decision for one env (vmap outside).
+def expert_hazards(map_data, env_state, hold):
+    """All expert hazard predicates + brake-hold hysteresis, ONE place.
 
-    Returns (control (3,), new_agent_state, hazard_flag).
+    Shared by the benchmark expert (expert_step) and the data-collection
+    expert (data/collect.py) so collected datasets teach exactly the
+    behavior the benchmark expert exhibits — they drifted apart in
+    round 4 (junction-entry hold, walker launch block, brake hold,
+    junction-aware vehicle hazard) and freshly collected data would have
+    taught the pre-fix collision-prone policy.
+
+    Returns (braking (bool), new_hold (int32)).
     """
     ego = env_state.ego
-    target_pos, target_cmd = route_target(env_state.route)
-
-    ox = jnp.cos(ego.yaw)
-    oy = jnp.sin(ego.yaw)
-    d = target_pos - ego.pos
-    forward = ox * d[0] + oy * d[1]
-    lateral = -oy * d[0] + ox * d[1]
-    theta = jnp.arctan2(lateral, forward)
-
-    turn_pid, steer = pid_step(agent_state.turn_pid, theta,
-                               1.5, 0.5, 0.0)
-
-    target_speed = jnp.where(
-        (target_cmd == CMD_STRAIGHT) | (target_cmd == CMD_FOLLOW),
-        EXPERT_TARGET_SPEED, EXPERT_TARGET_SPEED * EXPERT_TURN_SPEED_FACTOR)
-    speed_pid, throttle = pid_step(agent_state.speed_pid,
-                                   target_speed - ego.speed, 1.0, 0.0, 0.0)
-
     lstate = light_states(map_data.light_junction, map_data.light_phase,
                           map_data.junction_n_phases,
                           env_state.episode.light_t0,
@@ -108,9 +97,36 @@ def expert_step(map_data, env_state, agent_state: ExpertState):
     h_entry = (res_j >= 0) & ~in_junction & (res_d < EGO_ENTRY_HOLD) \
         & ((occ_bits[jnp.maximum(res_j, 0)] & conf) != 0)
     hazard = h_veh | h_light | h_walk | h_entry
-    hold = jnp.where(hazard, HAZARD_HOLD_TICKS,
-                     jnp.maximum(agent_state.hold - 1, 0))
-    braking = hazard | (hold > 0)
+    new_hold = jnp.where(hazard, HAZARD_HOLD_TICKS,
+                         jnp.maximum(hold - 1, 0))
+    return hazard | (new_hold > 0), new_hold
+
+
+def expert_step(map_data, env_state, agent_state: ExpertState):
+    """One control decision for one env (vmap outside).
+
+    Returns (control (3,), new_agent_state, hazard_flag).
+    """
+    ego = env_state.ego
+    target_pos, target_cmd = route_target(env_state.route)
+
+    ox = jnp.cos(ego.yaw)
+    oy = jnp.sin(ego.yaw)
+    d = target_pos - ego.pos
+    forward = ox * d[0] + oy * d[1]
+    lateral = -oy * d[0] + ox * d[1]
+    theta = jnp.arctan2(lateral, forward)
+
+    turn_pid, steer = pid_step(agent_state.turn_pid, theta,
+                               1.5, 0.5, 0.0)
+
+    target_speed = jnp.where(
+        (target_cmd == CMD_STRAIGHT) | (target_cmd == CMD_FOLLOW),
+        EXPERT_TARGET_SPEED, EXPERT_TARGET_SPEED * EXPERT_TURN_SPEED_FACTOR)
+    speed_pid, throttle = pid_step(agent_state.speed_pid,
+                                   target_speed - ego.speed, 1.0, 0.0, 0.0)
+
+    braking, hold = expert_hazards(map_data, env_state, agent_state.hold)
 
     steer = jnp.clip(steer, -1.0, 1.0)
     throttle = jnp.clip(throttle, 0.0, 1.0)

@@ -19,11 +19,33 @@ import pandas as pd
 
 from ..engine import stack_states
 from ..engine.rollout import make_rollout
+from ..utils.fingerprint import engine_fingerprint
 from .suites import SuiteConfig
 
 SUMMARY_COLUMNS = ['suite', 'weather', 'start', 'target', 'success',
                    'collided', 'ticks', 'total_lights_ran', 'total_lights',
-                   'timeout', 'route_m']
+                   'timeout', 'route_m', 'engine']
+
+
+def load_resume_rows(summary_csv: Path, fingerprint: str) -> pd.DataFrame:
+    """Rows safe to resume from: ONLY those stamped with the current
+    engine fingerprint. Anything else (older engine, pre-stamp format) is
+    quarantined to summary.stale-<fp>.csv so a re-bench after an engine
+    edit provably cannot reuse stale results (the round-3/4 trap)."""
+    prev = pd.read_csv(summary_csv)
+    if 'engine' not in prev.columns:
+        prev['engine'] = 'unstamped'
+    stale = prev[prev['engine'] != fingerprint]
+    fresh = prev[prev['engine'] == fingerprint]
+    if len(stale):
+        for fp, g in stale.groupby('engine'):
+            quarantine = summary_csv.with_name(f'summary.stale-{fp}.csv')
+            g.to_csv(quarantine, index=False)
+        print(f'[resume] quarantined {len(stale)} rows from other engine '
+              f'version(s) {sorted(stale["engine"].unique())} '
+              f'(current {fingerprint})')
+        fresh.to_csv(summary_csv, index=False)
+    return fresh.reindex(columns=SUMMARY_COLUMNS)
 
 _CMD_NAMES = {1: 'LEFT', 2: 'RIGHT', 3: 'STRAIGHT', 4: 'FOLLOW'}
 
@@ -102,9 +124,10 @@ def run_benchmark(agent_factory: Callable, suite: SuiteConfig,
     log_dir.mkdir(parents=True, exist_ok=True)
     summary_csv = log_dir / 'summary.csv'
 
+    fingerprint = engine_fingerprint()
     finished = pd.DataFrame(columns=SUMMARY_COLUMNS)
     if resume and summary_csv.exists():
-        finished = pd.read_csv(summary_csv)
+        finished = load_resume_rows(summary_csv, fingerprint)
 
     tasks = []
     for weather, (start, target), run_name in suite.all_tasks():
@@ -197,6 +220,7 @@ def run_benchmark(agent_factory: Callable, suite: SuiteConfig,
                 'total_lights_ran': int(ran[k]),
                 'total_lights': int(total_lights[k]),
                 'timeout': timeouts[k], 'route_m': route_ms[k],
+                'engine': fingerprint,
             })
         df = pd.DataFrame(rows, columns=SUMMARY_COLUMNS)
         df.to_csv(summary_csv, index=False)

@@ -21,12 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..agents.autopilot import expert_hazards
 from ..constants import CMD_FOLLOW, TRAIN_WEATHERS
 from ..control.pid import PIDState, pid_init, pid_step
 from ..engine import DrivingEnv, EnvConfig, stack_states
-from ..engine.hazards import (red_light_hazard, vehicle_hazard,
-                              walker_hazard)
-from ..engine.lights import light_states
 from ..engine.rollout import make_rollout
 from ..engine.routing import route_target
 from .episode_store import write_episode
@@ -44,6 +42,7 @@ class NoisyExpertState(NamedTuple):
     noise_steer: jnp.ndarray  # () f32
     last_throttle: jnp.ndarray
     rng: jnp.ndarray          # (2,) PRNG key
+    hold: jnp.ndarray         # () int32 brake-hold (agents/autopilot.py)
 
 
 def noisy_expert_init(seed: int = 0) -> NoisyExpertState:
@@ -51,7 +50,7 @@ def noisy_expert_init(seed: int = 0) -> NoisyExpertState:
         speed_pid=pid_init(30), turn_pid=pid_init(30),
         steps=jnp.asarray(0, jnp.int32), in_noise=jnp.asarray(False),
         noise_steer=jnp.asarray(0.0), last_throttle=jnp.asarray(0.0),
-        rng=jax.random.PRNGKey(seed))
+        rng=jax.random.PRNGKey(seed), hold=jnp.asarray(0, jnp.int32))
 
 
 def make_noisy_expert(n_drive: int = 100, n_noise: int = 0,
@@ -73,19 +72,10 @@ def make_noisy_expert(n_drive: int = 100, n_noise: int = 0,
         speed_pid, throttle = pid_step(agent.speed_pid, tsp - ego.speed,
                                        *COLLECT_SPEED_PID)
 
-        lstate = light_states(map_data.light_junction,
-                              map_data.light_phase,
-                              map_data.junction_n_phases,
-                              env_state.episode.light_t0,
-                              env_state.episode.tick)
-        hazard = vehicle_hazard(ego.pos, ego.yaw, env_state.npc.pos,
-                                env_state.npc.yaw, env_state.npc.active) \
-            | red_light_hazard(ego.pos, ego.yaw, lstate,
-                               map_data.light_stop_pos,
-                               map_data.light_stop_yaw) \
-            | walker_hazard(ego.pos, ego.yaw, env_state.walkers.pos,
-                            env_state.walkers.active,
-                            map_data.nav_raster, map_data.world_offset)
+        # identical hazard stack + brake-hold to the benchmark expert
+        # (agents/autopilot.py) — the collected dataset must teach the
+        # behavior the benchmark expert actually exhibits
+        hazard, hold = expert_hazards(map_data, env_state, agent.hold)
 
         steer = jnp.clip(steer, -1.0, 1.0)
         # throttle damping by steering magnitude (data_collector.py:138)
@@ -114,7 +104,7 @@ def make_noisy_expert(n_drive: int = 100, n_noise: int = 0,
             noise_steer=jnp.where(switch, new_noise, agent.noise_steer),
             last_throttle=jnp.where(switch, executed[1],
                                     agent.last_throttle),
-            rng=key)
+            rng=key, hold=hold)
         return executed, new_agent, real
 
     return step
