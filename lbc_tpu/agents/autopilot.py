@@ -18,7 +18,7 @@ from ..constants import (CMD_FOLLOW, CMD_STRAIGHT, EXPERT_TARGET_SPEED,
 from ..control.pid import PIDState, pid_init, pid_step
 from ..engine.hazards import (red_light_hazard, vehicle_hazard,
                               walker_hazard, walker_launch_block)
-from ..engine.lights import light_states
+from ..engine.lights import light_states_md
 from ..engine.routing import route_target
 
 
@@ -55,13 +55,11 @@ def expert_hazards(map_data, env_state, hold):
     Returns (braking (bool), new_hold (int32)).
     """
     ego = env_state.ego
-    lstate = light_states(map_data.light_junction, map_data.light_phase,
-                          map_data.junction_n_phases,
-                          env_state.episode.light_t0,
-                          env_state.episode.tick)
-    from ..engine.routing import nearest_waypoint
-    ego_wp = nearest_waypoint(map_data.grid_idx, map_data.world_offset,
-                              ego.pos)
+    lstate = light_states_md(map_data, env_state.episode.light_t0,
+                             env_state.episode.tick)
+    # env.step cached the ego's nearest waypoint at this exact pos last
+    # tick (episode.ego_wp) — no re-gather
+    ego_wp = env_state.episode.ego_wp
     in_junction = map_data.wp_junction[ego_wp] >= 0
     h_veh = vehicle_hazard(ego.pos, ego.yaw, env_state.npc.pos,
                            env_state.npc.yaw, env_state.npc.active,
@@ -82,12 +80,12 @@ def expert_hazards(map_data, env_state, hold):
     # end nose-to-nose mid-box, a state neither party can legally leave.
     # The reservation is read from the episode cache (refreshed by
     # env.step each tick; 1 tick stale) instead of re-deriving it.
-    from ..engine.npc import EGO_ENTRY_HOLD, junction_occupancy
+    from ..engine.npc import EGO_ENTRY_HOLD
     res_j = env_state.episode.res_j
     res_cmask = env_state.episode.res_cmask
     res_d = env_state.episode.res_d
-    occ_bits, _ = junction_occupancy(map_data, env_state.npc.wp,
-                                     env_state.npc.active)
+    # env.step cached the occupancy of this exact npc waypoint bank
+    occ_bits = env_state.episode.occ_bits
     conf_row = map_data.junction_conflict[jnp.maximum(res_j, 0)]  # (K,)
     n_k = conf_row.shape[0]
     conf = jnp.uint32(0)

@@ -58,7 +58,7 @@ def make_privileged_agent_batched(model: BirdviewPolicy, variables,
     controller, whose PID state stays f32."""
     import jax
 
-    from ..engine.lights import light_states
+    from ..engine.lights import light_states_md
     from ..ops import render_bev_crop_pallas
 
     if compute_dtype is not None:
@@ -72,9 +72,8 @@ def make_privileged_agent_batched(model: BirdviewPolicy, variables,
             variables['params'])
 
     def step(map_data, env_states, obs, agent_states):
-        lstate = jax.vmap(lambda t0, t: light_states(
-            map_data.light_junction, map_data.light_phase,
-            map_data.junction_n_phases, t0, t))(
+        lstate = jax.vmap(lambda t0, t: light_states_md(
+            map_data, t0, t))(
                 env_states.episode.light_t0, env_states.episode.tick)
         # render only the 192x192 agent crop (bit-identical to
         # crop_birdview(full_render, dx) — tests/test_pallas_bev.py)

@@ -19,12 +19,12 @@ import numpy as np
 
 from ..constants import (CMD_FOLLOW, DT, MAX_TICKS, SUCCESS_DIST)
 from ..maps import build_map_data, get_roadnet
-from ..maps.map_data import MapData
+from ..maps.map_data import MapData, nearest_waypoint_np
 from .collision import (ego_lane_invasion, ego_static_collision,
                         ego_vehicle_collision, ego_walker_collision)
 from .dynamics import DEFAULT_DYNAMICS, DynamicsParams, bicycle_step
-from .lights import PHASE_S, RED, light_states
-from .npc import EGO_RESERVE_DIST, npc_vehicle_step
+from .lights import PHASE_S, RED, light_states_md
+from .npc import EGO_RESERVE_DIST, junction_occupancy, npc_vehicle_step
 from .routing import (MAX_ROUTE, distance_to_goal, intended_connector,
                       make_route_state, route_step, route_target,
                       route_timeout_frames)
@@ -163,7 +163,11 @@ class DrivingEnv:
             success=jnp.asarray(False),
             res_j=jnp.asarray(-1, jnp.int32),
             res_cmask=jnp.asarray(0, jnp.uint32),
-            res_d=jnp.asarray(jnp.inf, jnp.float32))
+            res_d=jnp.asarray(jnp.inf, jnp.float32),
+            ego_wp=jnp.asarray(
+                nearest_waypoint_np(self.map_np, start_pos), jnp.int32),
+            occ_bits=junction_occupancy(self.map_data, jnp.asarray(npc_wp),
+                                        jnp.asarray(npc_active))[0])
 
         return EnvState(ego=ego, npc=npc, walkers=walkers, route=route,
                         episode=episode)
@@ -191,8 +195,7 @@ class DrivingEnv:
                        steer=steer, throttle=throttle, brake=brake)
 
         tick = ep.tick + 1
-        lstate = light_states(m.light_junction, m.light_phase,
-                              m.junction_n_phases, ep.light_t0, tick)
+        lstate = light_states_md(m, ep.light_t0, tick)
 
         # the ego reserves its planned junction connector(s) while bearing
         # down on the entry — and for as long as it is inside — so NPCs
@@ -201,15 +204,16 @@ class DrivingEnv:
         # nothing and cross traffic flows
         res_j, res_c, res_d = intended_connector(m, state.route, pos)
         from .routing import nearest_waypoint
-        ego_inside = m.wp_junction[nearest_waypoint(
-            m.grid_idx, m.world_offset, pos)] >= 0
+        ego_wp = nearest_waypoint(m.grid_idx, m.world_offset, pos)
+        ego_inside = m.wp_junction[ego_wp] >= 0
         reserve = (res_j >= 0) & (
             ego_inside | ((res_d < EGO_RESERVE_DIST) & (speed > 1.0)))
-        npc = npc_vehicle_step(
+        npc, npc_aux = npc_vehicle_step(
             state.npc, m, pos, yaw, state.walkers.pos, state.walkers.active,
             lstate, jnp.sum(ep.rng) + tick.astype(jnp.uint32),
             self.dynamics,
-            ego_res_j=jnp.where(reserve, res_j, -1), ego_res_c=res_c)
+            ego_res_j=jnp.where(reserve, res_j, -1), ego_res_c=res_c,
+            ego_wp=ego_wp, with_aux=True)
         walkers = walker_step(state.walkers, m, pos, k_walk,
                               vehicle_pos=npc.pos,
                               vehicle_active=npc.active,
@@ -280,7 +284,13 @@ class DrivingEnv:
             total_lights_ran=ep.total_lights_ran + ran_now.astype(jnp.int32),
             last_light=last_light, rng=key, done=done,
             success=ep.success | success,
-            res_j=res_j, res_cmask=res_c.astype(jnp.uint32), res_d=res_d)
+            res_j=res_j, res_cmask=res_c.astype(jnp.uint32), res_d=res_d,
+            ego_wp=ego_wp,
+            # expert-hold occupancy: drop NPCs stopped in the box solely
+            # because of the ego — holding for them is a permanent
+            # ego<->NPC cycle (h_veh still guards actual contact)
+            occ_bits=junction_occupancy(
+                m, npc.wp, npc.active & ~npc_aux['held_only_by_ego'])[0])
 
         new_state = EnvState(ego=ego._replace(prev_vel=vel), npc=npc,
                              walkers=walkers, route=route, episode=episode)

@@ -107,13 +107,22 @@ def junction_occupancy(map_data, veh_wp, veh_active, extras=()):
 def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
                      walker_pos, walker_active, light_state, seed,
                      dynamics=DEFAULT_DYNAMICS,
-                     ego_res_j=None, ego_res_c=None) -> NPCVehicleState:
+                     ego_res_j=None, ego_res_c=None,
+                     ego_wp=None, with_aux=False):
     """One tick for all NPC vehicles of one env (vmap over envs outside).
 
     ego_res_j/ego_res_c: the ego's junction connector reservation
     (scalars: junction id or -1, connector BITMASK), from
     engine.routing.intended_connector — an approaching or inside ego
     holds conflicting NPC entries exactly like a committed NPC would.
+    ego_wp: the ego's nearest lattice waypoint if the caller already
+    gathered it (env.step does); None re-derives it here.
+    with_aux=True additionally returns {'held_only_by_ego': (N,) bool} —
+    NPCs stopped inside a junction whose ONLY hazard is the ego itself.
+    The expert's junction-entry hold must not wait for these (env.step
+    drops them from the cached occupancy): the NPC waits for the ego and
+    the ego would wait for the NPC, a cycle neither can leave
+    (ADVICE r4: ego<->NPC mutual junction hold).
     """
     wp_pos = map_data.wp_pos
     wp_next = map_data.wp_next
@@ -130,8 +139,9 @@ def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
     # exactly like a stopped NPC) AND its route reservation — near a
     # crossing the snap can flicker onto the other connector, so either
     # alone under-reports the ego's true footprint
-    ego_wp = nearest_waypoint(map_data.grid_idx, map_data.world_offset,
-                              ego_pos)
+    if ego_wp is None:
+        ego_wp = nearest_waypoint(map_data.grid_idx, map_data.world_offset,
+                                  ego_pos)
     ego_j = wpj[ego_wp]
     ego_mask = jnp.uint32(1) << jnp.maximum(
         wpc[ego_wp], 0).astype(jnp.uint32)
@@ -247,6 +257,9 @@ def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
     npc_by = npc_by & ~mutual
     veh = jnp.any(npc_by, axis=1) | veh_by[:, -1]
     hazard = veh | other_hazard | entry_hold
+    held_only_by_ego = (stopped_npc & in_junction & npc.active
+                        & veh_by[:, -1] & ~jnp.any(npc_by, axis=1)
+                        & ~other_hazard & ~entry_hold)
 
     throttle = jnp.clip(NPC_THROTTLE_KP * (target_speed - speed), 0.0, 1.0)
     throttle = jnp.where(hazard, 0.0, throttle)
@@ -260,5 +273,8 @@ def npc_vehicle_step(npc: NPCVehicleState, map_data, ego_pos, ego_yaw,
     new_pos = jnp.where(active[:, None], new_pos, pos)
     new_yaw = jnp.where(active, new_yaw, yaw)
     new_speed = jnp.where(active, new_speed, 0.0)
-    return NPCVehicleState(pos=new_pos, yaw=new_yaw, speed=new_speed,
-                           wp=wp, active=active)
+    out = NPCVehicleState(pos=new_pos, yaw=new_yaw, speed=new_speed,
+                          wp=wp, active=active)
+    if with_aux:
+        return out, {'held_only_by_ego': held_only_by_ego}
+    return out

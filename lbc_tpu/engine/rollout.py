@@ -116,6 +116,10 @@ def make_rollout(env, agent_step: Callable, n_steps: int,
         return env_states, agent_states, metrics, recs
 
     if mesh is None:
+        # NOTE: no donate_argnums — bench.py (best-of-3) and the
+        # parallel-consistency tests re-invoke with the same inputs, and
+        # the scan carry already reuses buffers internally; donation
+        # would only save the one-time initial copy
         return jax.jit(rollout_core)
 
     from jax.sharding import PartitionSpec as P

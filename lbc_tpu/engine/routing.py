@@ -121,7 +121,10 @@ def intended_connector(map_data, route: 'RouteState', ego_pos):
     and agents/autopilot.py (the expert's own hold). Near a crossing two
     connectors' waypoints are equidistant and a single-point snap can
     pick the wrong one — OR-ing the bits of every in-junction lookahead
-    point keeps the true connector in the mask.
+    point keeps the true connector in the mask. Snaps whose waypoint
+    heading disagrees with the route tangent by > 60 deg are dropped:
+    they belong to the crossing movement, not ours, and reserving them
+    makes NPCs over-yield and the expert over-hold.
     """
     offs = jnp.arange(ENTRY_LOOKAHEAD)
     idx = jnp.minimum(route.next_idx + offs, route.length - 1)
@@ -129,7 +132,18 @@ def intended_connector(map_data, route: 'RouteState', ego_pos):
     wps = nearest_waypoint(map_data.grid_idx, map_data.world_offset, pts)
     js = map_data.wp_junction[wps]
     cs = jnp.maximum(map_data.wp_conn[wps], 0)
-    isj = js >= 0
+    # route tangent at each lookahead point (forward diff; inbound
+    # segment at the route tail / padded region)
+    fwd = route.pos[jnp.minimum(idx + 1, route.length - 1)] - pts
+    back = pts - route.pos[jnp.maximum(idx - 1, 0)]
+    use_back = jnp.linalg.norm(fwd, axis=-1, keepdims=True) < 1e-3
+    tang = jnp.where(use_back, back, fwd)
+    tyaw = jnp.arctan2(tang[:, 1], tang[:, 0])
+    dyaw = jnp.abs(jnp.mod(map_data.wp_yaw[wps] - tyaw + jnp.pi,
+                           2 * jnp.pi) - jnp.pi)
+    degenerate = jnp.linalg.norm(tang, axis=-1) < 1e-3
+    heading_ok = (dyaw < jnp.deg2rad(60.0)) | degenerate
+    isj = (js >= 0) & heading_ok
     first = jnp.argmax(isj)
     any_j = jnp.any(isj)
     j = jnp.where(any_j, js[first], -1)

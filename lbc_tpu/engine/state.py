@@ -74,6 +74,13 @@ class EpisodeState(NamedTuple):
     res_j: jnp.ndarray             # () int32 junction id, -1 = none
     res_cmask: jnp.ndarray         # () uint32 reserved connector bitmask
     res_d: jnp.ndarray             # () f32 distance to the entry
+    # hot-loop dedup caches, refreshed each step by env.step: the ego's
+    # nearest lattice waypoint at the CURRENT pos and the per-junction
+    # connector occupancy of the CURRENT npc waypoint bank — agents read
+    # these instead of re-gathering (bit-exact: env.step writes them from
+    # the same arrays the agent would read next tick)
+    ego_wp: jnp.ndarray            # () int32
+    occ_bits: jnp.ndarray          # (J,) uint32
 
 
 class EnvState(NamedTuple):

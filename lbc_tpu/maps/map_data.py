@@ -59,6 +59,10 @@ class MapData(NamedTuple):
     light_junction: np.ndarray    # (L,) int32
     light_phase: np.ndarray       # (L,) int32 index within junction group
     junction_n_phases: np.ndarray  # (J,) int32
+    junction_green_s: np.ndarray  # (J,) f32 per-junction green duration
+    junction_yellow_s: np.ndarray  # (J,) f32 per-junction yellow duration
+    # (map_utils.py:786-854 reads per-light durations off the CARLA
+    # actors; CARLA 0.9.6 town defaults are uniform 10 s / 3 s)
     # walker navigation
     walker_spawn: np.ndarray      # (WS, 2) f32 points on the sidewalk band
     walker_spawn_component: np.ndarray  # (WS,) int32 sidewalk-piece id —
@@ -278,6 +282,10 @@ def build_map_data(town: str) -> MapData:
         light_junction=net.light_junction,
         light_phase=net.light_phase,
         junction_n_phases=net.junction_n_phases,
+        junction_green_s=np.full(len(net.junction_n_phases), 10.0,
+                                 np.float32),
+        junction_yellow_s=np.full(len(net.junction_n_phases), 3.0,
+                                  np.float32),
         walker_spawn=ws_pts,
         walker_spawn_component=ws_comp,
         walker_neighbors=ws_nbrs,

@@ -31,10 +31,12 @@ from ..constants import (CAMERA_FOV, CAMERA_HEIGHT, CAMERA_WIDTH, CAMERA_X,
 from ..engine.lights import GREEN, RED, YELLOW
 from ..render.camera import (K_LIGHT, K_VEH, K_WALK, LANE_COLOR,
                              LIGHT_HEAD_SIZE, LIGHT_HEAD_Z, MAX_DEPTH,
-                             OFFROAD_COLOR, ROAD_COLOR, SIDEWALK_COLOR,
-                             VEHICLE_HEIGHT, WALKER_COLOR, WALKER_HEIGHT,
-                             WEATHER_FOG, WEATHER_SKY_BOT, WEATHER_SKY_TOP,
-                             WEATHER_SUN, WEATHER_WET, _vehicle_color)
+                             OFFROAD_COLOR, ROAD_COLOR, SHADOW_DARK,
+                             SHADOW_SOFT, SIDEWALK_COLOR, TEX_COARSE,
+                             TEX_FINE, VEHICLE_HEIGHT, WALKER_COLOR,
+                             WALKER_HEIGHT, WEATHER_FOG, WEATHER_SKY_BOT,
+                             WEATHER_SKY_TOP, WEATHER_SUN, WEATHER_WET,
+                             WET_REFLECT, _vehicle_color)
 from ..render.geometry import (DASH_ON, DASH_PERIOD, LANE_HALF_WIDTH,
                                SIDEWALK_WIDTH, select_capsules)
 
@@ -122,11 +124,61 @@ def _camera_kernel(par_ref, caps_ref, veh_ref, walk_ref, light_ref,
         on_lane = on_lane | ((d2 <= LANE_HALF_WIDTH * LANE_HALF_WIDTH)
                              & dash_on)
 
+    # --- ground realism (identical math to render/camera.py:
+    #     ground_texture / WET_REFLECT blend / contact_shadow) -----------
+    def hashn(ix, iy):
+        # exact integer hash — see render/camera.py:_hash_noise
+        x = (ix.astype(jnp.int32).astype(jnp.uint32)
+             * jnp.uint32(2654435761)
+             + iy.astype(jnp.int32).astype(jnp.uint32) * jnp.uint32(40503)
+             + jnp.uint32(0x9E3779B9))
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x85EBCA6B)
+        x = x ^ (x >> 13)
+        return (x & jnp.uint32(0xFFFFFF)).astype(jnp.float32) \
+            / float(1 << 24)
+
+    fade = jnp.clip(1.0 - t_g / 48.0, 0.0, 1.0)
+    tex = 1.0 + (0.10 * (hashn(jnp.floor(gx * TEX_COARSE),
+                               jnp.floor(gy * TEX_COARSE)) - 0.5)
+                 + 0.06 * (hashn(jnp.floor(gx * TEX_FINE),
+                                 jnp.floor(gy * TEX_FINE)) - 0.5)) * fade
+    refl = par_ref[0, 2, 0] * WET_REFLECT
+
+    def foot_shade(cx, cy, c, s, ex, ey, valid):
+        px = gx - cx
+        py = gy - cy
+        bx = px * c + py * s
+        by = -px * s + py * c
+        mx = jnp.maximum(jnp.abs(bx) - ex, 0.0)
+        my = jnp.maximum(jnp.abs(by) - ey, 0.0)
+        d = jnp.sqrt(mx * mx + my * my)
+        fall = jnp.clip(d / SHADOW_SOFT, 0.0, 1.0)
+        sh = SHADOW_DARK + (1.0 - SHADOW_DARK) * fall
+        return jnp.where(valid > 0.5, sh, 1.0)
+
+    shade_v = jnp.ones_like(gx)
+    for k in range(K_VEH):
+        shade_v = jnp.minimum(shade_v, foot_shade(
+            veh_ref[0, k, 0], veh_ref[0, k, 1], veh_ref[0, k, 2],
+            veh_ref[0, k, 3], EGO_EXTENT_X, EGO_EXTENT_Y,
+            veh_ref[0, k, 4]))
+    shade_w = jnp.ones_like(gx)
+    for k in range(K_WALK):
+        shade_w = jnp.minimum(shade_w, foot_shade(
+            walk_ref[0, k, 0], walk_ref[0, k, 1], 1.0, 0.0,
+            WALKER_EXTENT, WALKER_EXTENT, walk_ref[0, k, 2]))
+    shade_g = shade_v * shade_w
+
     def ground_ch(i):
-        return jnp.where(
+        base = jnp.where(
             on_lane, _LANE[i],
             jnp.where(on_road, _ROAD[i],
                       jnp.where(on_walk, _SIDEWALK[i], _OFFROAD[i])))
+        g = base * tex
+        g = jnp.where(on_road, g * (1.0 - refl) + par_ref[0, 1, 3 + i]
+                      * refl, g)
+        return g * shade_g
 
     # --- sky -------------------------------------------------------------
     elev = jnp.clip(-dz * 4.0, 0.0, 1.0)
@@ -305,11 +357,9 @@ def render_camera_pallas(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw,
 def render_camera_state_pallas(map_data, state, interpret: bool = False):
     """Batched state -> (B, 160, 384, 3); drop-in for
     vmap(render_camera_state) on TPU."""
-    from ..engine.lights import light_states
+    from ..engine.lights import light_states_md
     lstate = jax.vmap(
-        lambda t0, tick: light_states(map_data.light_junction,
-                                      map_data.light_phase,
-                                      map_data.junction_n_phases, t0, tick)
+        lambda t0, tick: light_states_md(map_data, t0, tick)
     )(state.episode.light_t0, state.episode.tick)
     return render_camera_pallas(
         map_data, state.ego.pos, state.ego.yaw, state.npc.pos,

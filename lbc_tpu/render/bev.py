@@ -128,10 +128,9 @@ def render_bev(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw, npc_active,
 def render_bev_state(map_data, state):
     """Render from an EnvState (single env). Light states are recomputed
     from the episode clock (pure function, engine.lights)."""
-    from ..engine.lights import light_states
-    lstate = light_states(map_data.light_junction, map_data.light_phase,
-                          map_data.junction_n_phases,
-                          state.episode.light_t0, state.episode.tick)
+    from ..engine.lights import light_states_md
+    lstate = light_states_md(map_data, state.episode.light_t0,
+                             state.episode.tick)
     return render_bev(map_data, state.ego.pos, state.ego.yaw,
                       state.npc.pos, state.npc.yaw, state.npc.active,
                       state.walkers.pos, state.walkers.active,

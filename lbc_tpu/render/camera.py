@@ -7,7 +7,8 @@ camera at (x=+2.0 m, z=1.4 m) on the hero, zero pitch.
 
 Rendering model (one fused elementwise program per pixel):
 * ground plane via ray-plane intersection, colored from the town rasters
-  (road / lane marking / sidewalk / offroad);
+  (road / lane marking / sidewalk / offroad) with hash-noise albedo
+  texture, wet-sky reflection on the road, and actor contact shadows;
 * nearest actor boxes (vehicles, walkers) and traffic-light heads via
   per-pixel ray-OBB slab tests against the K nearest actors;
 * sky gradient, distance fog, and a per-weather appearance table standing
@@ -68,6 +69,63 @@ WEATHER_SKY_BOT = jnp.array([_W.get(i, _W[1])[1] for i in range(15)])
 WEATHER_SUN = jnp.array([_W.get(i, _W[1])[2] for i in range(15)])
 WEATHER_FOG = jnp.array([_W.get(i, _W[1])[3] for i in range(15)])
 WEATHER_WET = jnp.array([_W.get(i, _W[1])[4] for i in range(15)])
+
+
+# ground realism knobs (identical constants in ops/camera_kernel.py)
+TEX_COARSE = 1.0            # 1 m albedo cells
+TEX_FINE = 3.0              # 0.33 m albedo cells
+WET_REFLECT = 0.30          # sky blended into wet road
+SHADOW_DARK = 0.55          # contact-shadow floor under an actor
+SHADOW_SOFT = 0.6           # falloff distance (m) outside the footprint
+
+
+def _hash_noise(ix, iy):
+    """Deterministic [0,1) value noise from integer lattice coords.
+
+    Integer multiply-xorshift (same family as engine/npc.py:_hash01), NOT
+    the classic fract(sin(...)) hash: sin-based hashes flip by ~0.36 per
+    one-ulp change of the argument, so any fp-scheduling difference
+    between the XLA renderer and the Pallas kernel would decorrelate the
+    texture everywhere. Integer ops are exact in both paths."""
+    x = (ix.astype(jnp.int32).astype(jnp.uint32) * jnp.uint32(2654435761)
+         + iy.astype(jnp.int32).astype(jnp.uint32) * jnp.uint32(40503)
+         + jnp.uint32(0x9E3779B9))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    return (x & jnp.uint32(0xFFFFFF)).astype(jnp.float32) / float(1 << 24)
+
+
+def ground_texture(gx, gy, dist):
+    """Two-octave albedo multiplier ~1 +- 0.08, faded out by distance
+    (cells become sub-pixel past ~50 m: fading is the minification
+    anti-alias AND keeps the XLA/Pallas paths numerically comparable —
+    at the horizon one-ulp ground-point differences flip hash cells)."""
+    fine = _hash_noise(jnp.floor(gx * TEX_FINE), jnp.floor(gy * TEX_FINE))
+    coarse = _hash_noise(jnp.floor(gx * TEX_COARSE),
+                         jnp.floor(gy * TEX_COARSE))
+    fade = jnp.clip(1.0 - dist / 48.0, 0.0, 1.0)
+    return 1.0 + (0.10 * (coarse - 0.5) + 0.06 * (fine - 0.5)) * fade
+
+
+def contact_shadow(gpts, center_xy, yaw, ex, ey, valid):
+    """Per-pixel ambient-occlusion shade from K actor footprints.
+
+    gpts: (H, W, 2) ground points; center/yaw/valid: (K,). Returns
+    (H, W) multiplier in [SHADOW_DARK, 1].
+    """
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    px = gpts[..., None, 0] - center_xy[..., 0]
+    py = gpts[..., None, 1] - center_xy[..., 1]
+    bx = px * c + py * s
+    by = -px * s + py * c
+    mx = jnp.maximum(jnp.abs(bx) - ex, 0.0)
+    my = jnp.maximum(jnp.abs(by) - ey, 0.0)
+    d = jnp.sqrt(mx * mx + my * my)
+    fall = jnp.clip(d / SHADOW_SOFT, 0.0, 1.0)
+    shade = SHADOW_DARK + (1.0 - SHADOW_DARK) * fall
+    shade = jnp.where(valid, shade, 1.0)
+    return jnp.min(shade, axis=-1)
 
 
 def _vehicle_color(idx):
@@ -156,17 +214,6 @@ def render_camera(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw, npc_active,
                             OFFROAD_COLOR)))
     below_horizon = dz < -1e-4
 
-    # --- sky ---
-    wid = jnp.clip(weather, 1, 14)
-    sky_t = WEATHER_SKY_TOP[wid]
-    sky_b = WEATHER_SKY_BOT[wid]
-    elev = jnp.clip(-dz * 4.0, 0.0, 1.0)
-    sky = sky_b[None, None] * (1 - elev[..., None]) \
-        + sky_t[None, None] * elev[..., None]
-
-    color = jnp.where(below_horizon[..., None], ground_color, sky)
-    depth = jnp.where(below_horizon, t_ground, MAX_DEPTH)
-
     # --- actors: nearest K in front ---
     def select(pos, active, k):
         rel = pos - cam_xy
@@ -178,12 +225,39 @@ def render_camera(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw, npc_active,
         return idx, jnp.isfinite(neg)
 
     vi, vvalid = select(npc_pos, npc_active, K_VEH)
+    wi_s, wvalid_s = select(walker_pos, walker_active, K_WALK)
+
+    # --- ground realism: albedo texture, wet reflection, contact shadows
+    wid = jnp.clip(weather, 1, 14)
+    sky_b = WEATHER_SKY_BOT[wid]
+    ground_color = ground_color * ground_texture(gx, gy,
+                                                 t_ground)[..., None]
+    refl = WEATHER_WET[wid] * WET_REFLECT
+    on_road = (gclass >= 2)[..., None]
+    ground_color = jnp.where(
+        on_road, ground_color * (1 - refl) + sky_b[None, None] * refl,
+        ground_color)
+    shade = contact_shadow(gpts, npc_pos[vi], npc_yaw[vi],
+                           EGO_EXTENT_X, EGO_EXTENT_Y, vvalid) \
+        * contact_shadow(gpts, walker_pos[wi_s],
+                         jnp.zeros_like(wi_s, jnp.float32),
+                         WALKER_EXTENT, WALKER_EXTENT, wvalid_s)
+    ground_color = ground_color * shade[..., None]
+
+    # --- sky ---
+    sky_t = WEATHER_SKY_TOP[wid]
+    elev = jnp.clip(-dz * 4.0, 0.0, 1.0)
+    sky = sky_b[None, None] * (1 - elev[..., None]) \
+        + sky_t[None, None] * elev[..., None]
+
+    color = jnp.where(below_horizon[..., None], ground_color, sky)
+    depth = jnp.where(below_horizon, t_ground, MAX_DEPTH)
     vhit, vt, vshade = _ray_box_hit(
         origin, dirn, npc_pos[vi], npc_yaw[vi],
         EGO_EXTENT_X, EGO_EXTENT_Y, VEHICLE_HEIGHT)
     vt = jnp.where(vhit & vvalid[None, None], vt, jnp.inf)
 
-    wi, wvalid = select(walker_pos, walker_active, K_WALK)
+    wi, wvalid = wi_s, wvalid_s
     whit, wt, wshade = _ray_box_hit(
         origin, dirn, walker_pos[wi], jnp.zeros_like(wi, jnp.float32),
         WALKER_EXTENT, WALKER_EXTENT, WALKER_HEIGHT)
@@ -240,10 +314,9 @@ def render_camera(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw, npc_active,
 
 
 def render_camera_state(map_data, state):
-    from ..engine.lights import light_states
-    lstate = light_states(map_data.light_junction, map_data.light_phase,
-                          map_data.junction_n_phases,
-                          state.episode.light_t0, state.episode.tick)
+    from ..engine.lights import light_states_md
+    lstate = light_states_md(map_data, state.episode.light_t0,
+                             state.episode.tick)
     return render_camera(map_data, state.ego.pos, state.ego.yaw,
                          state.npc.pos, state.npc.yaw, state.npc.active,
                          state.walkers.pos, state.walkers.active,

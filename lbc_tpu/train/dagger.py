@@ -117,7 +117,7 @@ def make_dagger_agent_batched(student_model, student_vars, teacher_model,
     per-env XLA camera inside the long fused scan — the pattern that
     crashed the TPU worker in round 1 (CLAUDE.md) — and matches
     make_dagger_agent step-for-step (tests/test_camera_kernel.py)."""
-    from ..engine.lights import light_states
+    from ..engine.lights import light_states_md
     from ..ops import render_bev_crop_pallas
     from ..ops.camera_kernel import render_camera_state_pallas
     p_student = 0.5 + 0.5 * (1.0 - beta ** episode)
@@ -125,9 +125,8 @@ def make_dagger_agent_batched(student_model, student_vars, teacher_model,
     def step(map_data, env_states, obs, astates: DaggerAgentState):
         rgb = render_camera_state_pallas(map_data, env_states,
                                          interpret=interpret)
-        lstate = jax.vmap(lambda t0, t: light_states(
-            map_data.light_junction, map_data.light_phase,
-            map_data.junction_n_phases, t0, t))(
+        lstate = jax.vmap(lambda t0, t: light_states_md(
+            map_data, t0, t))(
                 env_states.episode.light_t0, env_states.episode.tick)
         crop = render_bev_crop_pallas(
             map_data, env_states.ego.pos, env_states.ego.yaw,

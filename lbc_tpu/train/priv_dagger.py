@@ -95,14 +95,13 @@ def make_priv_dagger_agent_batched(model, variables, episode: int,
     [-1,1] predictions for importance weights; the rollout's `collect`
     adds the full env state for fork-labeling."""
     from ..agents.autopilot import expert_step
-    from ..engine.lights import light_states
+    from ..engine.lights import light_states_md
     from ..ops import render_bev_crop_pallas
     p_student = 0.5 + 0.5 * (1.0 - beta ** episode)
 
     def step(map_data, env_states, obs, astates: PrivDaggerAgentState):
-        lstate = jax.vmap(lambda t0, t: light_states(
-            map_data.light_junction, map_data.light_phase,
-            map_data.junction_n_phases, t0, t))(
+        lstate = jax.vmap(lambda t0, t: light_states_md(
+            map_data, t0, t))(
                 env_states.episode.light_t0, env_states.episode.tick)
         crop = render_bev_crop_pallas(
             map_data, env_states.ego.pos, env_states.ego.yaw,

@@ -433,3 +433,63 @@ def test_walker_confinement_teleport():
             break
     # walker escaped the pocket (teleported by the confinement rule)
     assert float(jnp.linalg.norm(st.pos[0] - p0)) > 5.0
+
+
+def test_npc_held_only_by_ego_excluded_from_expert_hold():
+    """ADVICE r4: an NPC stopped inside a junction whose ONLY blocker is
+    the ego must be flagged by npc_vehicle_step(with_aux=True) and dropped
+    from the occupancy the expert's junction-entry hold reads — otherwise
+    the ego holds at the entry for an NPC that is itself waiting for the
+    ego, a cycle neither can leave. An NPC also blocked by ANOTHER
+    stopped NPC keeps occupying (the ego must still wait for that one)."""
+    import numpy as np
+
+    from lbc_tpu.engine.npc import junction_occupancy, npc_vehicle_step
+    from lbc_tpu.engine.state import NPCVehicleState
+    from lbc_tpu.maps import build_map_data
+
+    m = build_map_data('Town01')
+    md = jax.tree.map(jnp.asarray, m)
+    wpj = np.asarray(m.wp_junction)
+    j_wp = int(np.nonzero(wpj >= 0)[0][0])
+    j_id = int(wpj[j_wp])
+    p0 = np.asarray(m.wp_pos[j_wp], np.float32)
+
+    def run(ego_ahead, leader_active):
+        # NPC 0: stopped at a junction waypoint; NPC 1: optional stopped
+        # leader dead ahead inside the following cone
+        st = NPCVehicleState(
+            pos=jnp.asarray(np.stack([p0, p0 + [4.5, 0.0]]), jnp.float32),
+            yaw=jnp.asarray([0.0, 0.0], jnp.float32),
+            speed=jnp.asarray([0.0, 0.0], jnp.float32),
+            wp=jnp.asarray([j_wp, j_wp], jnp.int32),
+            active=jnp.asarray([True, leader_active]))
+        ego_pos = (p0 + [5.0, 0.0] if ego_ahead
+                   else np.asarray([1e6, 1e6], np.float32))
+        out, aux = npc_vehicle_step(
+            st, md,
+            ego_pos=jnp.asarray(ego_pos, jnp.float32),
+            ego_yaw=jnp.asarray(0.0),
+            walker_pos=jnp.zeros((1, 2)) + 1e6,
+            walker_active=jnp.asarray([False]),
+            light_state=jnp.zeros((m.light_pole_pos.shape[0],), jnp.int32),
+            seed=jnp.asarray(0, jnp.uint32), with_aux=True)
+        return out, aux
+
+    # ego dead ahead, no other blocker -> flagged, occupancy bit drops
+    out, aux = run(ego_ahead=True, leader_active=False)
+    assert bool(aux['held_only_by_ego'][0])
+    occ_full, _ = junction_occupancy(md, out.wp, out.active)
+    occ_expert, _ = junction_occupancy(
+        md, out.wp, out.active & ~aux['held_only_by_ego'])
+    assert int(occ_full[j_id]) != 0
+    assert int(occ_expert[j_id]) == 0
+
+    # ego far away -> nothing to flag
+    _, aux = run(ego_ahead=False, leader_active=False)
+    assert not bool(aux['held_only_by_ego'][0])
+
+    # ego ahead AND a stopped NPC leader ahead -> NOT only-by-ego: the
+    # expert must still hold for this occupant
+    _, aux = run(ego_ahead=True, leader_active=True)
+    assert not bool(aux['held_only_by_ego'][0])

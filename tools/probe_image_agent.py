@@ -42,7 +42,7 @@ def main():
     from lbc_tpu.cli.benchmark_agent import model_agent_factory
     from lbc_tpu.engine import stack_states
     from lbc_tpu.engine.hazards import red_light_hazard
-    from lbc_tpu.engine.lights import light_states
+    from lbc_tpu.engine.lights import light_states_md
     from lbc_tpu.engine.rollout import make_rollout
 
     suite = make_suite(args.suite)
@@ -60,8 +60,7 @@ def main():
 
     def collect(env_state, obs, control, aux):
         ep = env_state.episode
-        lstate = light_states(m.light_junction, m.light_phase,
-                              m.junction_n_phases, ep.light_t0, ep.tick)
+        lstate = light_states_md(m, ep.light_t0, ep.tick)
         red = red_light_hazard(env_state.ego.pos, env_state.ego.yaw,
                                lstate, m.light_stop_pos, m.light_stop_yaw)
         return {'speed': obs['speed'], 'red': red, 'done': ep.done,

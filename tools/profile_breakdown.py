@@ -50,7 +50,7 @@ def main():
                                            privileged_init)
     from lbc_tpu.constants import AGENT_CROP_DX
     from lbc_tpu.engine import DrivingEnv, EnvConfig, stack_states
-    from lbc_tpu.engine.lights import light_states
+    from lbc_tpu.engine.lights import light_states_md
     from lbc_tpu.engine.rollout import make_rollout
     from lbc_tpu.models import BirdviewPolicy
     from lbc_tpu.ops import render_bev_crop_pallas
@@ -94,9 +94,8 @@ def main():
 
     # --- env + render (no net) ---
     def render_step(map_data, env_states, obs, agent_states):
-        lstate = jax.vmap(lambda t0, t: light_states(
-            map_data.light_junction, map_data.light_phase,
-            map_data.junction_n_phases, t0, t))(
+        lstate = jax.vmap(lambda t0, t: light_states_md(
+            map_data, t0, t))(
                 env_states.episode.light_t0, env_states.episode.tick)
         crop = render_bev_crop_pallas(
             map_data, env_states.ego.pos, env_states.ego.yaw,
