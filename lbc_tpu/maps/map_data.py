@@ -53,7 +53,16 @@ class MapData(NamedTuple):
     spawn_pos: np.ndarray         # (S, 2) f32
     spawn_yaw: np.ndarray         # (S,) f32
     # traffic lights
-    light_pole_pos: np.ndarray    # (L, 2) f32 (drawn position)
+    light_pole_pos: np.ndarray    # (L, 2) f32 (physical pole; BEV circles
+    #                               + TrafficTracker closest-light)
+    light_draw_pos: np.ndarray    # (L, 2) f32 camera head position: across
+    # the junction on the governed approach's axis, so a driver AT the
+    # stop line sees their OWN phase. The physical pole sits ~4 m BEHIND
+    # the stop line (CARLA placement) — rendering heads there left every
+    # side-road approach of a T-junction with no same-phase head in FOV
+    # (the round-3 light-deadlock class; tests/test_camera_contract.py).
+    # CARLA's UE4 meshes hang driver-facing heads over the far side; this
+    # is the analytic equivalent.
     light_stop_pos: np.ndarray    # (L, 2) f32 (stop line on governed lane)
     light_stop_yaw: np.ndarray    # (L,) f32 (approach heading)
     light_junction: np.ndarray    # (L,) int32
@@ -255,6 +264,23 @@ def build_map_data(town: str) -> MapData:
         np.int32)
     wp_junction = seg_junction[net.wp_seg]
     wp_conn, junction_conflict = _connector_tables(net)
+
+    # camera head positions: across the junction on each approach's axis
+    # (see the MapData field comment). Forward distance = twice the
+    # stop-line -> junction-center projection (the far edge) + 2 m.
+    stop_pos = net.light_stop_pos.astype(np.float32)
+    stop_yaw = net.light_stop_yaw.astype(np.float32)
+    dirv = np.stack([np.cos(stop_yaw), np.sin(stop_yaw)], -1)
+    leftv = np.stack([-np.sin(stop_yaw), np.cos(stop_yaw)], -1)
+    n_j = len(net.junction_n_phases)
+    jcenter = np.zeros((n_j, 2), np.float32)
+    for j in range(n_j):
+        pts = net.wp_pos[wp_junction == j]
+        jcenter[j] = pts.mean(0) if len(pts) else 0.0
+    proj = np.maximum(np.einsum(
+        'ld,ld->l', jcenter[net.light_junction] - stop_pos, dirv), 3.0)
+    light_draw = stop_pos + (2.0 * proj + 2.0)[:, None] * dirv \
+        + 1.0 * leftv
     ws_pts, ws_comp, ws_nbrs, ws_cross = _walker_spawn_points(
         road, walkable, net.world_offset, net.pixels_per_meter)
 
@@ -277,6 +303,7 @@ def build_map_data(town: str) -> MapData:
         spawn_pos=net.spawn_pos.astype(np.float32),
         spawn_yaw=net.spawn_yaw.astype(np.float32),
         light_pole_pos=net.light_poles.astype(np.float32),
+        light_draw_pos=light_draw.astype(np.float32),
         light_stop_pos=net.light_stop_pos.astype(np.float32),
         light_stop_yaw=net.light_stop_yaw.astype(np.float32),
         light_junction=net.light_junction,

@@ -301,7 +301,7 @@ def _pack_camera(map_data, ego_pos, ego_yaw, npc_pos, npc_yaw, npc_active,
     walk = walk.at[:kw, 0:2].set(walker_pos[wi])
     walk = walk.at[:kw, 2].set(wv.astype(jnp.float32))
 
-    light_pos = map_data.light_pole_pos
+    light_pos = map_data.light_draw_pos
     li, lv = _select(light_pos, jnp.ones(light_pos.shape[0], bool),
                      cam_xy, fwd, K_LIGHT)
     kl = li.shape[0]

@@ -320,5 +320,5 @@ def render_camera_state(map_data, state):
     return render_camera(map_data, state.ego.pos, state.ego.yaw,
                          state.npc.pos, state.npc.yaw, state.npc.active,
                          state.walkers.pos, state.walkers.active,
-                         map_data.light_pole_pos, lstate,
+                         map_data.light_draw_pos, lstate,
                          state.episode.weather)
