@@ -141,3 +141,35 @@ def test_batched_privileged_agent_bf16_close_to_f32():
     c16, _ = birdview_agent_control(loc16, obs['speed'], obs['command'],
                                     agents.controller)
     assert np.abs(np.asarray(c16) - np.asarray(c32)).max() < 0.3
+
+
+def test_conv_transpose_phase_equivalence():
+    """conv_transpose_s2_same / ConvTransposeS2 must reproduce
+    nn.ConvTranspose((3,3), strides 2, SAME) exactly: same param
+    names/shapes (checkpoint-compatible) and same values to fp noise.
+    The decomposition exists because XLA lowers a stride-2 transposed
+    conv via input dilation (half the MACs are zeros on the MXU)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from lbc_tpu.models.layers import (ConvTransposeS2,
+                                       conv_transpose_s2_same)
+
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (2, 6, 7, 5))      # odd width too
+    ref = nn.ConvTranspose(4, (3, 3), strides=(2, 2), padding='SAME')
+    v = ref.init(key, x)
+    want = ref.apply(v, x)
+
+    got = conv_transpose_s2_same(x, v['params']['kernel'],
+                                 v['params']['bias'])
+    assert want.shape == got.shape == (2, 12, 14, 4)
+    assert float(jnp.max(jnp.abs(want - got))) < 1e-5
+
+    mod = ConvTransposeS2(4)
+    v2 = mod.init(key, x)
+    # identical param tree -> old checkpoints load unchanged
+    assert jax.tree.map(jnp.shape, v2) == jax.tree.map(jnp.shape, v)
+    got2 = mod.apply(v, x)
+    assert float(jnp.max(jnp.abs(want - got2))) < 1e-5
