@@ -31,8 +31,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--town', default='Town01')
-    ap.add_argument('--n_vehicles', type=int, default=100)
-    ap.add_argument('--n_pedestrians', type=int, default=250)
+    ap.add_argument("--n_vehicles", type=int, default=0)
+    ap.add_argument("--n_pedestrians", type=int, default=0)
     ap.add_argument('--episodes', type=int, default=8)
     ap.add_argument('--ticks', type=int, default=3000)
     ap.add_argument('--seed', type=int, default=0)
@@ -51,10 +51,14 @@ def main():
     from lbc_tpu.engine import stack_states
     from lbc_tpu.engine.rollout import make_rollout
 
+    import dataclasses
     suite = make_suite(f'NoCrash{args.town}-v5')
+    # default traffic = the suite's own dense counts; flags override
+    suite = dataclasses.replace(
+        suite,
+        n_vehicles=args.n_vehicles or suite.n_vehicles,
+        n_pedestrians=args.n_pedestrians or suite.n_pedestrians)
     env = suite.make_env()
-    env.config.n_vehicles = args.n_vehicles
-    env.config.n_pedestrians = args.n_pedestrians
 
     tasks = list(suite.all_tasks())[:args.episodes]
     states = []
