@@ -18,6 +18,7 @@ from ..data import ReplayBuffer
 from ..train import (dagger_rollout, dagger_train_episode,
                      init_image_training, make_image_model)
 from ..train.checkpoints import load_checkpoint, save_checkpoint
+from ..utils.deadline import wall_deadline_passed
 from ..utils.experiment import log, save_config
 from .train_image import load_teacher
 
@@ -50,6 +51,11 @@ def main():
     ap.add_argument('--audit-k', type=int, default=16,
                     help='top-k worst replay samples saved per episode '
                          '(train_image_phase2.py:231-252)')
+    ap.add_argument('--deadline-min-episodes', type=int, default=10,
+                    help='cooperative wall-clock stop (utils/deadline.py '
+                         '"dagger" file): after this many episodes, a '
+                         'passed deadline ends the run at the episode '
+                         'boundary (checkpoint already saved)')
     args = ap.parse_args()
     if args.device_buffer is None:
         args.device_buffer = jax.default_backend() == 'tpu'
@@ -102,6 +108,11 @@ def main():
             log.info('episode %d: train loss %.4f', episode, loss)
             print(f'episode {episode}: buffer={int(buffer.size)} '
                   f'loss={loss:.4f} saved model-{episode}', flush=True)
+            if (episode + 1 >= args.deadline_min_episodes
+                    and wall_deadline_passed('dagger')):
+                print(f'deadline-file stop after episode {episode}',
+                      flush=True)
+                break
         return
 
     buffer = ReplayBuffer(capacity=args.capacity, seed=args.seed)
@@ -122,6 +133,11 @@ def main():
         save_checkpoint(args.log_dir, state, episode)
         print(f'episode {episode}: buffer={len(buffer)} saved model-'
               f'{episode}')
+        if (episode + 1 >= args.deadline_min_episodes
+                and wall_deadline_passed('dagger')):
+            print(f'deadline-file stop after episode {episode}',
+                  flush=True)
+            break
 
 
 if __name__ == '__main__':

@@ -29,6 +29,7 @@ from ..train import (SAVE_EPOCHS, init_birdview_training,
                      phase1_train_step)
 from ..train.checkpoints import (latest_checkpoint, load_checkpoint,
                                  save_checkpoint)
+from ..utils.deadline import wall_deadline_passed
 from ..utils.experiment import log, save_config
 
 
@@ -66,8 +67,12 @@ def train(config):
         log.info('dataset resident on device: %d frames (%d train)',
                  data.rgb.shape[0], data.n_train)
 
-        def save_fn(st, epoch):
-            if epoch in SAVE_EPOCHS or epoch == config['max_epoch']:
+        def save_fn(st, epoch, force=False):
+            import os
+            due = epoch in SAVE_EPOCHS or epoch == config['max_epoch']
+            already = os.path.isdir(
+                os.path.join(config['log_dir'], f'model-{epoch}'))
+            if (due or force) and not already:
                 save_checkpoint(config['log_dir'], st, epoch)
         state, _ = train_resident(config, state, tx, model,
                                   teacher_model, teacher_vars, data,
@@ -133,6 +138,12 @@ def train(config):
               f"{stats.get(('train', 'loss'), {}).get('mean', -1):.4f}")
         if epoch in SAVE_EPOCHS:
             save_checkpoint(config['log_dir'], state, epoch)
+        if (epoch >= int(config.get('deadline_min_epoch', 48))
+                and wall_deadline_passed('image')):
+            if epoch not in SAVE_EPOCHS:
+                save_checkpoint(config['log_dir'], state, epoch)
+            print(f'deadline-file stop at epoch {epoch}', flush=True)
+            return state
     save_checkpoint(config['log_dir'], state, config['max_epoch'])
     return state
 

@@ -28,6 +28,7 @@ import numpy as np
 
 from ..constants import CROP_SIZE, PIXEL_OFFSET
 from ..data.augment import augment_batch, schedule_params
+from ..utils.deadline import wall_deadline_passed
 from ..data.datasets import FrameDataset
 from ..data.episode_store import unpack_birdview_jnp
 from ..models import one_hot_command
@@ -217,4 +218,14 @@ def train_resident(config, state: TrainState, tx, model, teacher_model,
               f'val {val_loss:.4f}', flush=True)
         if save_fn is not None:
             save_fn(state, epoch)
+        # cooperative wall-clock stop (utils/deadline.py): checkpoint and
+        # exit cleanly so the marker-gated pipeline behind us advances;
+        # deadline_min_epoch keeps a late start from producing a useless
+        # near-untrained checkpoint
+        if (epoch >= int(config.get('deadline_min_epoch', 48))
+                and wall_deadline_passed('image')):
+            if save_fn is not None:
+                save_fn(state, epoch, force=True)
+            print(f'deadline-file stop at epoch {epoch}', flush=True)
+            break
     return state, history
