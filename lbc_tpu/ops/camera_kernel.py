@@ -135,8 +135,10 @@ def _camera_kernel(par_ref, caps_ref, veh_ref, walk_ref, light_ref,
         x = x ^ (x >> 16)
         x = x * jnp.uint32(0x85EBCA6B)
         x = x ^ (x >> 13)
-        return (x & jnp.uint32(0xFFFFFF)).astype(jnp.float32) \
-            / float(1 << 24)
+        # Mosaic has no uint32->f32 convert; the masked value is < 2^24
+        # so routing through int32 is bit-identical
+        return (x & jnp.uint32(0xFFFFFF)).astype(jnp.int32) \
+            .astype(jnp.float32) / float(1 << 24)
 
     fade = jnp.clip(1.0 - t_g / 48.0, 0.0, 1.0)
     tex = 1.0 + (0.10 * (hashn(jnp.floor(gx * TEX_COARSE),
