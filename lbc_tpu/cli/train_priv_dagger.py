@@ -22,6 +22,7 @@ from ..train import init_birdview_training, make_birdview_model
 from ..train.checkpoints import load_checkpoint, save_checkpoint
 from ..train.priv_dagger import (priv_dagger_rollout,
                                  priv_dagger_train_episode)
+from ..utils.deadline import wall_deadline_passed
 from ..utils.experiment import log, save_config
 
 
@@ -43,6 +44,11 @@ def main():
     ap.add_argument('--capacity', type=int, default=200_000)
     ap.add_argument('--lr', type=float, default=1e-4)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--deadline-min-episodes', type=int, default=6,
+                    help='cooperative wall-clock stop (utils/deadline.py '
+                         'file "privdagger"): once this many episodes '
+                         'have trained, a passed deadline ends the run '
+                         'at the episode boundary')
     ap.add_argument('--mix-dense', action='store_true',
                     help='alternate regular/dense-traffic episodes '
                          '(device-buffer path only)')
@@ -108,6 +114,11 @@ def main():
             log.info('episode %d: train loss %.4f', episode, loss)
             print(f'episode {episode}: buffer={int(buffer.size)} '
                   f'loss={loss:.4f} saved model-{episode}', flush=True)
+            if (episode + 1 >= args.deadline_min_episodes
+                    and wall_deadline_passed('privdagger')):
+                print(f'deadline-file stop after episode {episode}',
+                      flush=True)
+                break
         print('DONE', flush=True)
         return
 
@@ -132,6 +143,11 @@ def main():
         log.info('episode %d: train loss %.4f', episode, loss)
         print(f'episode {episode}: buffer={len(buffer)} loss={loss:.4f} '
               f'saved model-{episode}', flush=True)
+        if (episode + 1 >= args.deadline_min_episodes
+                and wall_deadline_passed('privdagger')):
+            print(f'deadline-file stop after episode {episode}',
+                  flush=True)
+            break
     print('DONE', flush=True)
 
 
